@@ -1,0 +1,34 @@
+"""fastmatch-tpu: a TPU-native SLAM/SfM engine.
+
+A from-scratch JAX/XLA/Pallas framework providing the capabilities of the
+reference feature-matching engine (arnfred/Fast-Match) extended into a full
+SLAM/SfM pipeline, per the project north star (BASELINE.json):
+
+- batched 128-d SIFT descriptor distance + top-2 / Lowe ratio / cross-check
+  matching as fused Pallas TPU kernels,
+- DoG/SIFT detection and description as vmapped XLA convolutions,
+- two-view RANSAC pose, triangulation, PnP,
+- incremental bundle adjustment (Levenberg-Marquardt with Schur-complement
+  reduction, PCG inner solver),
+- pose-graph optimization with loop closure,
+- multi-chip/multi-host sharding of descriptor banks and map blocks via
+  jax.sharding Mesh + shard_map collectives (ICI/DCN), with matching and BA
+  overlapped.
+
+Note on reference citations: /root/reference (arnfred/Fast-Match) was an empty
+mount in every session to date (see SURVEY.md §0), so docstrings cite the
+in-repo capability spec BASELINE.json instead of reference file:line.
+"""
+
+__version__ = "0.1.0"
+
+from fastmatch_tpu.core.containers import Descriptors, Keypoints, Matches
+from fastmatch_tpu.matching.matcher import match_pair, match_batch
+
+__all__ = [
+    "Descriptors",
+    "Keypoints",
+    "Matches",
+    "match_pair",
+    "match_batch",
+]

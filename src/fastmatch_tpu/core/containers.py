@@ -1,0 +1,114 @@
+"""Fixed-capacity padded containers and the masking discipline.
+
+XLA compiles static shapes; real images yield variable keypoint counts. The
+framework-wide convention (SURVEY.md §8.2 "hard parts") is:
+
+- every ragged collection is stored at a fixed capacity ``C`` (a power of two,
+  MXU/VPU friendly) together with a boolean ``mask`` of shape ``(C,)`` marking
+  live entries;
+- padded *descriptor rows are zero* and padded *distances are +inf* — a padded
+  row must never win an argmin / top-2 (a zero-distance padded row would
+  silently corrupt the Lowe ratio test);
+- all reductions over the capacity axis must be written mask-aware.
+
+Containers are NamedTuples, hence JAX pytrees: they pass transparently through
+``jit`` / ``vmap`` / ``shard_map`` and shard per-leaf. A leading batch axis is
+added by ``vmap``, not stored here.
+
+Capability spec: BASELINE.json configs 1-2 (2x ~2k 128-d descriptors per
+image, batched over 64+ pairs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# Canonical SIFT descriptor dimensionality (4x4 spatial bins x 8 orientations).
+DESC_DIM = 128
+# Default per-image keypoint capacity: fits ~2k keypoints (BASELINE.json:6).
+DEFAULT_CAPACITY = 2048
+
+
+class Keypoints(NamedTuple):
+    """Detected keypoints at fixed capacity.
+
+    xy:    (C, 2) float32 — subpixel (x, y) in image coordinates.
+    scale: (C,)   float32 — blob scale (sigma).
+    angle: (C,)   float32 — dominant orientation, radians in [0, 2pi).
+    score: (C,)   float32 — detector response (|DoG| at the extremum).
+    mask:  (C,)   bool    — True for live entries.
+    """
+
+    xy: jnp.ndarray
+    scale: jnp.ndarray
+    angle: jnp.ndarray
+    score: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[-2]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask, axis=-1)
+
+
+class Descriptors(NamedTuple):
+    """128-d descriptors at fixed capacity.
+
+    data: (C, 128) float32 — L2-normalized SIFT descriptors; padded rows zero.
+    mask: (C,)     bool    — True for live entries.
+    """
+
+    data: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[-2]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask, axis=-1)
+
+
+class Matches(NamedTuple):
+    """Result of matching query descriptors A against bank B.
+
+    One row per A-slot (capacity of A):
+
+    idx:   (C,) int32   — matched index into B (undefined where ~valid).
+    dist:  (C,) float32 — squared L2 distance of the best match (+inf invalid).
+    valid: (C,) bool    — survived masking + ratio test (+ cross-check).
+    """
+
+    idx: jnp.ndarray
+    dist: jnp.ndarray
+    valid: jnp.ndarray
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid, axis=-1)
+
+
+def pad_to_capacity(arr: np.ndarray, capacity: int, fill: float = 0.0):
+    """Pad host array's leading axis to ``capacity``; return (padded, mask).
+
+    Truncates (keeping the first ``capacity`` rows) if over capacity — callers
+    that care about which rows survive should pre-sort by detector response.
+    """
+    n = min(arr.shape[0], capacity)
+    padded = np.full((capacity,) + arr.shape[1:], fill, dtype=arr.dtype)
+    padded[:n] = arr[:n]
+    mask = np.zeros((capacity,), dtype=bool)
+    mask[:n] = True
+    return padded, mask
+
+
+def descriptors_from_numpy(desc: np.ndarray, capacity: int = DEFAULT_CAPACITY) -> Descriptors:
+    """Build a padded Descriptors container from a host (N, 128) array."""
+    if desc.ndim != 2 or desc.shape[1] != DESC_DIM:
+        raise ValueError(f"expected (N, {DESC_DIM}) descriptors, got {desc.shape}")
+    data, mask = pad_to_capacity(desc.astype(np.float32), capacity)
+    return Descriptors(data=jnp.asarray(data), mask=jnp.asarray(mask))

@@ -1,0 +1,140 @@
+"""Descriptor matching: distance matrix, top-2, Lowe ratio, cross-check.
+
+This module holds the *semantic definition* of matching for the whole engine:
+
+- ``match_pair_jnp`` is the pure-``jax.numpy`` reference implementation
+  (component T5, SURVEY.md §3.2). It is the parity anchor: the fused Pallas
+  kernel (kernels/distance_topk.py) and every sharded variant (dist/) must
+  reproduce its output exactly (same indices, distances to float tolerance).
+- ``match_pair`` dispatches between backends ("jnp" | "pallas").
+- ``match_batch`` is the vmapped multi-pair entry point (component T6,
+  BASELINE.json config 2: 64 pairs, 1 chip).
+
+Conventions (the masking discipline, see core/containers.py):
+- distances are *squared* L2; the Lowe ratio test compares
+  ``d1 < ratio^2 * d2`` which is equivalent to the classical
+  ``sqrt(d1) < ratio * sqrt(d2)``;
+- masked B columns contribute +inf distance so they can never win top-2;
+- masked A rows yield ``valid=False`` matches;
+- ties break toward the lower index (fixed reduction order — required for the
+  >=99% agreement gate, SURVEY.md §8.2 "determinism").
+
+Capability spec: BASELINE.json:5 (north star: "128-d descriptor L2/dot-product
+distance matrix, ratio-test argmin/top-2, and mutual cross-check").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from fastmatch_tpu.core.containers import Descriptors, Matches
+
+# Large-but-finite stand-in for +inf: keeps arithmetic NaN-free on the VPU
+# (inf - inf in a fused kernel would poison the ratio test).
+BIG = jnp.float32(3.0e38)
+
+
+def squared_distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs squared L2 distance via the Gram trick.
+
+    ``d2[i, j] = |a_i|^2 + |b_j|^2 - 2 a_i . b_j`` — one (N, 128) x (128, M)
+    matmul, which XLA maps onto the MXU. Clamped at zero (the expansion can go
+    slightly negative in float32).
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (N, 1)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True).T  # (1, M)
+    # Full f32 accumulation: on TPU the default matmul precision is bf16,
+    # which flips near-tie ratio tests and breaks the jnp<->pallas parity
+    # gate. The Pallas fast path matches this choice.
+    cross = jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)  # MXU
+    return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
+
+
+def masked_top2(d2: jnp.ndarray, mask_b: jnp.ndarray):
+    """Per-row two smallest distances over valid B columns.
+
+    Returns (idx1, d1, idx2, dsecond); ties break toward the lower B index.
+    Rows see +BIG where mask_b is False; if fewer than 2 valid columns exist,
+    the corresponding distances are ~BIG and downstream ratio tests fail
+    (matching cv2.knnMatch semantics of "no second neighbor => no match").
+    """
+    d2m = jnp.where(mask_b[None, :], d2, BIG)
+    neg, idx = jax.lax.top_k(-d2m, 2)  # top_k is stable: ties -> lower index
+    d_sorted = -neg
+    return idx[..., 0], d_sorted[..., 0], idx[..., 1], d_sorted[..., 1]
+
+
+def _nn_over_rows(d2: jnp.ndarray, mask_a: jnp.ndarray) -> jnp.ndarray:
+    """For each B column, index of the nearest valid A row (argmin, stable)."""
+    d2m = jnp.where(mask_a[:, None], d2, BIG)
+    return jnp.argmin(d2m, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cross_check",))
+def match_pair_jnp(
+    desc_a: Descriptors,
+    desc_b: Descriptors,
+    ratio: float | jnp.ndarray = 0.8,
+    cross_check: bool = True,
+) -> Matches:
+    """Reference matcher: full distance matrix + top-2 + ratio (+ cross-check).
+
+    This is component T5 — the semantic ground truth for the Pallas fast path.
+    """
+    d2 = squared_distance_matrix(desc_a.data, desc_b.data)
+    idx1, d1, _idx2, d2nd = masked_top2(d2, desc_b.mask)
+    ratio = jnp.asarray(ratio, jnp.float32)
+    # A *real* second neighbor is required (d2nd < BIG): with <2 valid B
+    # entries there is no ratio to test — no match (cv2.knnMatch semantics).
+    ok = desc_a.mask & (d1 < ratio * ratio * d2nd) & (d2nd < BIG)
+    if cross_check:
+        nn_b = _nn_over_rows(d2, desc_a.mask)  # (M,)
+        mutual = nn_b[idx1] == jnp.arange(d2.shape[0])
+        ok = ok & mutual
+    return Matches(idx=idx1.astype(jnp.int32), dist=jnp.where(ok, d1, BIG), valid=ok)
+
+
+def match_pair(
+    desc_a: Descriptors,
+    desc_b: Descriptors,
+    ratio: float = 0.8,
+    cross_check: bool = True,
+    backend: str = "auto",
+) -> Matches:
+    """Match one descriptor set against another.
+
+    backend: "jnp" (XLA-fused reference), "pallas" (fused TPU kernel), or
+    "auto" (pallas on TPU, jnp elsewhere).
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+    if backend == "jnp":
+        return match_pair_jnp(desc_a, desc_b, ratio=ratio, cross_check=cross_check)
+    if backend == "pallas":
+        from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
+
+        return match_pair_pallas(desc_a, desc_b, ratio=ratio, cross_check=cross_check)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+@partial(jax.jit, static_argnames=("cross_check", "backend"))
+def match_batch(
+    desc_a: Descriptors,
+    desc_b: Descriptors,
+    ratio: float = 0.8,
+    cross_check: bool = True,
+    backend: str = "jnp",
+) -> Matches:
+    """Batched matcher (T6): containers carry a leading batch axis (B, C, ...).
+
+    BASELINE.json config 2: 64 pairs vmapped on one chip. Independent pairs
+    are the data-parallel unit — sharding the batch axis across chips is
+    handled in dist/ (T16).
+    """
+    fn = partial(match_pair, ratio=ratio, cross_check=cross_check, backend=backend)
+    return jax.vmap(fn)(desc_a, desc_b)

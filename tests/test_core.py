@@ -1,0 +1,131 @@
+"""L0 unit tests: Lie ops, camera, containers (SURVEY.md §5.2 "Unit" tier)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastmatch_tpu.core.lie import SE3, SO3, hat, vee, se3_adjoint
+from fastmatch_tpu.core.camera import Pinhole
+from fastmatch_tpu.core.containers import descriptors_from_numpy, pad_to_capacity
+
+
+class TestSO3:
+    def test_exp_log_roundtrip(self, rng):
+        # Norms uniform in (0, 3.0) — inside the principal branch |w| < pi.
+        d = rng.standard_normal((64, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        w = d * rng.uniform(0.01, 3.0, size=(64, 1))
+        R = SO3.exp(jnp.asarray(w))
+        w2 = SO3.log(R)
+        np.testing.assert_allclose(np.asarray(w2), w, atol=5e-4)
+
+    def test_exp_small_angle(self):
+        w = jnp.array([[1e-10, 0, 0], [0.0, 0, 0]])
+        R = SO3.exp(w)
+        np.testing.assert_allclose(np.asarray(R), np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-8)
+
+    def test_exp_is_rotation(self, rng):
+        w = jnp.asarray(rng.standard_normal((32, 3)) * 3.0)
+        R = SO3.exp(w)
+        RtR = jnp.swapaxes(R, -1, -2) @ R
+        np.testing.assert_allclose(np.asarray(RtR), np.broadcast_to(np.eye(3), (32, 3, 3)), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jnp.linalg.det(R)), 1.0, atol=1e-5)
+
+    def test_log_near_pi(self):
+        axis = np.array([1.0, 2.0, -0.5])
+        axis /= np.linalg.norm(axis)
+        w = (np.pi - 1e-6) * axis
+        R = SO3.exp(jnp.asarray(w[None]))
+        w2 = np.asarray(SO3.log(R))[0]
+        np.testing.assert_allclose(np.abs(w2 @ axis), np.pi - 1e-6, atol=1e-3)
+
+    def test_left_jacobian_fd(self, rng):
+        # J_l(w) column k ~ d/de log-coords of exp(w + e ek) exp(w)^-1... use
+        # the defining identity exp(w + dw) ~ exp(J_l dw) exp(w).
+        w = jnp.asarray(rng.standard_normal(3))
+        J = SO3.left_jacobian(w)
+        eps = 1e-5
+        for k in range(3):
+            dw = jnp.zeros(3).at[k].set(eps)
+            lhs = SO3.exp(w + dw)
+            rhs = SO3.exp(J @ dw) @ SO3.exp(w)
+            np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-8)
+
+    def test_grad_no_nan_at_zero(self):
+        g = jax.grad(lambda w: jnp.sum(SO3.exp(w)))(jnp.zeros(3))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestSE3:
+    def test_exp_log_roundtrip(self, rng):
+        tw = rng.standard_normal((32, 6))
+        # Keep the rotation part inside the principal branch.
+        wn = np.linalg.norm(tw[:, 3:], axis=1, keepdims=True)
+        tw[:, 3:] *= np.minimum(1.0, 2.8 / np.maximum(wn, 1e-9))
+        g = SE3.exp(jnp.asarray(tw))
+        np.testing.assert_allclose(np.asarray(g.log()), tw, atol=1e-3)
+
+    def test_compose_inverse(self, rng):
+        a = SE3.exp(jnp.asarray(rng.standard_normal((8, 6))))
+        b = a.compose(a.inverse())
+        np.testing.assert_allclose(np.asarray(b.t), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b.R), np.broadcast_to(np.eye(3), (8, 3, 3)), atol=1e-5)
+
+    def test_apply_matches_matrix(self, rng):
+        g = SE3.exp(jnp.asarray(rng.standard_normal(6)))
+        p = jnp.asarray(rng.standard_normal((16, 3)))
+        out = g.apply(p)
+        expected = (np.asarray(g.R) @ np.asarray(p).T).T + np.asarray(g.t)
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+    def test_adjoint_identity(self, rng):
+        # Ad_g twist == log(g exp(twist) g^-1) for small twists
+        g = SE3.exp(jnp.asarray(rng.standard_normal(6) * 0.5))
+        tw = jnp.asarray(rng.standard_normal(6) * 1e-3)
+        lhs = se3_adjoint(g) @ tw
+        rhs = g.compose(SE3.exp(tw)).compose(g.inverse()).log()
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-6)
+
+    def test_hat_vee(self, rng):
+        w = jnp.asarray(rng.standard_normal((5, 3)))
+        np.testing.assert_allclose(np.asarray(vee(hat(w))), np.asarray(w))
+
+
+class TestCamera:
+    def test_project_center(self):
+        cam = Pinhole.from_K(np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]]))
+        uv = cam.project(jnp.array([0.0, 0.0, 2.0]))
+        np.testing.assert_allclose(np.asarray(uv), [320.0, 240.0])
+
+    def test_project_unproject(self, rng):
+        cam = Pinhole.from_K(np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]]))
+        pts = jnp.asarray(np.abs(rng.standard_normal((32, 3))) + np.array([0, 0, 1.0]))
+        uv = cam.project(pts)
+        rays = cam.unproject(uv)
+        scaled = rays * pts[..., 2:3]
+        np.testing.assert_allclose(np.asarray(scaled), np.asarray(pts), rtol=1e-5)
+
+
+class TestContainers:
+    def test_pad_and_mask(self, rng):
+        d = rng.standard_normal((100, 128)).astype(np.float32)
+        desc = descriptors_from_numpy(d, capacity=256)
+        assert desc.capacity == 256
+        assert int(desc.count()) == 100
+        np.testing.assert_array_equal(np.asarray(desc.data[:100]), d)
+        np.testing.assert_array_equal(np.asarray(desc.data[100:]), 0.0)
+
+    def test_truncation(self, rng):
+        d = rng.standard_normal((300, 128)).astype(np.float32)
+        desc = descriptors_from_numpy(d, capacity=256)
+        assert int(desc.count()) == 256
+
+    def test_pad_shape_error(self):
+        with pytest.raises(ValueError):
+            descriptors_from_numpy(np.zeros((5, 64), np.float32))
+
+    def test_pad_to_capacity_mask(self):
+        arr = np.ones((3, 2), np.float32)
+        p, m = pad_to_capacity(arr, 8)
+        assert p.shape == (8, 2) and m.sum() == 3
