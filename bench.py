@@ -1,0 +1,97 @@
+"""Benchmark harness (T24): matching throughput, TPU vs CPU baseline.
+
+Workload = BASELINE.json config 2: batched image-pair matching, 2048-capacity
+128-d descriptor sets, Lowe ratio + cross-check. The reference published no
+numbers (BASELINE.md), so the CPU baseline is established here: cv2 BFMatcher
+(the reference's native matching path, C++ brute force) on the same workload.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where vs_baseline is the TPU:CPU speedup (target >= 5x, BASELINE.json:5).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_pairs(rng, batch, n_desc=1500, cap=2048):
+    import jax.numpy as jnp
+    from fastmatch_tpu.core.containers import Descriptors, descriptors_from_numpy
+
+    def mk(n):
+        d = np.abs(rng.standard_normal((n, 128))).astype(np.float32)
+        return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+    raw = [(mk(n_desc), mk(n_desc)) for _ in range(batch)]
+    da = Descriptors(
+        jnp.stack([descriptors_from_numpy(a, cap).data for a, _ in raw]),
+        jnp.stack([descriptors_from_numpy(a, cap).mask for a, _ in raw]),
+    )
+    db = Descriptors(
+        jnp.stack([descriptors_from_numpy(b, cap).data for _, b in raw]),
+        jnp.stack([descriptors_from_numpy(b, cap).mask for _, b in raw]),
+    )
+    return raw, da, db
+
+
+def bench_cpu_cv2(raw, repeats=2):
+    """Reference-style CPU baseline: cv2 BFMatcher knnMatch (C++ brute force)."""
+    import cv2
+
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        for a, b in raw:
+            bf.knnMatch(a, b, k=2)
+            bf.knnMatch(b, a, k=1)  # the cross-check leg
+    dt = (time.perf_counter() - t0) / (repeats * len(raw))
+    return 1.0 / dt
+
+
+def bench_tpu_pallas(da, db, repeats=10):
+    import jax
+    from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
+
+    @jax.jit
+    def run(da, db):
+        return jax.vmap(lambda a, b: match_pair_pallas(a, b, interpret=False))(da, db)
+
+    out = run(da, db)
+    out.idx.block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = run(da, db)
+        out.idx.block_until_ready()
+    dt = (time.perf_counter() - t0) / repeats
+    batch = da.data.shape[0]
+    return batch / dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    batch = 64
+    raw, da, db = make_pairs(rng, batch)
+
+    import jax
+
+    assert jax.default_backend() != "cpu", "bench must run on the TPU chip"
+    tpu_pairs_s = bench_tpu_pallas(da, db)
+    cpu_pairs_s = bench_cpu_cv2(raw[:8])  # cv2 is slow; subsample pairs
+
+    print(
+        json.dumps(
+            {
+                "metric": "match_pairs_per_s_per_chip",
+                "value": round(tpu_pairs_s, 2),
+                "unit": "image pairs/s (2k x 2k 128-d, ratio+cross-check)",
+                "vs_baseline": round(tpu_pairs_s / cpu_pairs_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

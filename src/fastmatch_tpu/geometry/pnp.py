@@ -1,0 +1,142 @@
+"""PnP: camera pose from 3D-2D correspondences (component T11).
+
+DLT initialization (12-parameter projective fit, orthogonalized onto SE3)
+followed by fixed-iteration Gauss-Newton on the SE3 manifold — no
+data-dependent loops (``fori_loop`` with a static count). RANSAC wrapper
+mirrors geometry/ransac.py: K minimal sets scored in parallel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fastmatch_tpu.core.lie import SE3, hat
+
+
+def _project(p):
+    z = jnp.where(jnp.abs(p[..., 2:3]) < 1e-9, 1e-9, p[..., 2:3])
+    return p[..., :2] / z
+
+
+def pnp_dlt(X: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray | None = None):
+    """DLT pose fit: X (..., P, 3) world points, x (..., P, 2) normalized
+    observations, w optional (..., P) weights. Returns SE3 (R, t) with
+    x ~ project(R X + t). Requires P >= 6 effective points.
+    """
+    ones = jnp.ones_like(X[..., :1])
+    Xh = jnp.concatenate([X, ones], axis=-1)  # (..., P, 4)
+    zeros = jnp.zeros_like(Xh)
+    u = x[..., 0:1]
+    v = x[..., 1:2]
+    r1 = jnp.concatenate([Xh, zeros, -u * Xh], axis=-1)  # (..., P, 12)
+    r2 = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1)
+    if w is not None:
+        r1 = r1 * w[..., None]
+        r2 = r2 * w[..., None]
+    A = jnp.concatenate([r1, r2], axis=-2)  # (..., 2P, 12)
+    ATA = jnp.einsum("...pi,...pj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(ATA)
+    p = vecs[..., :, 0]
+    P34 = p.reshape(*p.shape[:-1], 3, 4)
+    M = P34[..., :, :3]
+    # Fix scale and sign: depths of the (weighted) centroid should be +.
+    scale = jnp.cbrt(jnp.abs(jnp.linalg.det(M)))
+    scale = jnp.where(scale < 1e-12, 1.0, scale)
+    P34 = P34 / scale[..., None, None]
+    centroid = jnp.mean(X, axis=-2)
+    ch = jnp.concatenate([centroid, jnp.ones_like(centroid[..., :1])], axis=-1)
+    z_c = jnp.einsum("...ij,...j->...i", P34, ch)[..., 2]
+    P34 = P34 * jnp.where(z_c < 0, -1.0, 1.0)[..., None, None]
+    M = P34[..., :, :3]
+    # Orthogonalize onto SO(3).
+    U, _, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = U @ (D[..., :, None] * Vt)
+    t = P34[..., :, 3]
+    return SE3(R, t)
+
+
+def refine_pose_gn(
+    pose: SE3, X: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray, iters: int = 5,
+    damping: float = 1e-6,
+) -> SE3:
+    """Fixed-iteration Gauss-Newton on SE3 minimizing weighted reprojection."""
+
+    def body(_, pose):
+        R, t = pose
+        p = jnp.einsum("ij,pj->pi", R, X) + t
+        z = jnp.where(jnp.abs(p[:, 2]) < 1e-9, 1e-9, p[:, 2])
+        res = _project(p) - x  # (P, 2)
+        iz = 1.0 / z
+        Jp = jnp.stack(
+            [
+                jnp.stack([iz, jnp.zeros_like(iz), -p[:, 0] * iz * iz], -1),
+                jnp.stack([jnp.zeros_like(iz), iz, -p[:, 1] * iz * iz], -1),
+            ],
+            -2,
+        )  # (P, 2, 3)
+        Jtw = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3), (X.shape[0], 3, 3)), -hat(p)], axis=-1
+        )  # (P, 3, 6)
+        J = Jp @ Jtw  # (P, 2, 6)
+        wv = w[:, None, None]
+        H = jnp.einsum("pki,pkj->ij", J * wv, J) + damping * jnp.eye(6)
+        g = jnp.einsum("pki,pk->i", J * wv, res)
+        delta = -jnp.linalg.solve(H, g)
+        return SE3.exp(delta).compose(SE3(R, t))
+
+    return jax.lax.fori_loop(0, iters, body, pose)
+
+
+class PnPResult(NamedTuple):
+    pose: SE3
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+    ok: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_pnp(
+    key: jax.Array,
+    X: jnp.ndarray,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    thr: float = 1e-4,
+    n_hyp: int = 256,
+    min_inliers: int = 10,
+) -> PnPResult:
+    """RANSAC PnP on (P, 3)/(P, 2) correspondences with validity mask.
+
+    thr: squared reprojection threshold in normalized coords.
+    """
+    p_count = mask.shape[0]
+    g = jax.random.gumbel(key, (n_hyp, p_count))
+    g = jnp.where(mask[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, 6)
+    poses = pnp_dlt(X[idx], x[idx])  # batched SE3 (K, 3, 3)/(K, 3)
+
+    def score(R, t):
+        p = jnp.einsum("ij,pj->pi", R, X) + t
+        err = jnp.sum((_project(p) - x) ** 2, -1)
+        return (err < thr) & (p[:, 2] > 0) & mask
+
+    inl = jax.vmap(score)(poses.R, poses.t)  # (K, P)
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    pose0 = SE3(poses.R[best], poses.t[best])
+    w = inl[best].astype(jnp.float32)
+    pose = refine_pose_gn(pose0, X, x, w, iters=8)
+    inliers = score(pose.R, pose.t)
+    # Keep the refined pose only if it didn't lose inliers.
+    better = jnp.sum(inliers) >= counts[best]
+    pose = SE3(
+        jnp.where(better, pose.R, pose0.R), jnp.where(better, pose.t, pose0.t)
+    )
+    inliers = jnp.where(better, inliers, inl[best])
+    n = jnp.sum(inliers)
+    return PnPResult(pose=pose, inliers=inliers, n_inliers=n, ok=n >= min_inliers)

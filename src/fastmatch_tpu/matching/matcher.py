@@ -29,12 +29,15 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fastmatch_tpu.core.containers import Descriptors, Matches
 
 # Large-but-finite stand-in for +inf: keeps arithmetic NaN-free on the VPU
-# (inf - inf in a fused kernel would poison the ratio test).
-BIG = jnp.float32(3.0e38)
+# (inf - inf in a fused kernel would poison the ratio test). A Python float
+# (not a jnp scalar) so Pallas kernels can close over it as a compile-time
+# constant. Exactly representable in f32.
+BIG = float(np.float32(3.0e38))
 
 
 def squared_distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -69,12 +72,6 @@ def masked_top2(d2: jnp.ndarray, mask_b: jnp.ndarray):
     return idx[..., 0], d_sorted[..., 0], idx[..., 1], d_sorted[..., 1]
 
 
-def _nn_over_rows(d2: jnp.ndarray, mask_a: jnp.ndarray) -> jnp.ndarray:
-    """For each B column, index of the nearest valid A row (argmin, stable)."""
-    d2m = jnp.where(mask_a[:, None], d2, BIG)
-    return jnp.argmin(d2m, axis=0)
-
-
 @partial(jax.jit, static_argnames=("cross_check",))
 def match_pair_jnp(
     desc_a: Descriptors,
@@ -85,16 +82,32 @@ def match_pair_jnp(
     """Reference matcher: full distance matrix + top-2 + ratio (+ cross-check).
 
     This is component T5 — the semantic ground truth for the Pallas fast path.
+    The op sequence deliberately mirrors the fused kernel bit-for-bit so both
+    backends make identical decisions: rows are *ordered* by
+    ``|b|^2(masked) - 2 a.b`` (the row-constant |a|^2 cannot change the
+    ordering and is added only when materializing distances), and the
+    column argmin for cross-check is ordered by ``|a|^2(masked) - 2 a.b``.
     """
-    d2 = squared_distance_matrix(desc_a.data, desc_b.data)
-    idx1, d1, _idx2, d2nd = masked_top2(d2, desc_b.mask)
+    a = desc_a.data.astype(jnp.float32)
+    b = desc_b.data.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    a2m = jnp.where(desc_a.mask, a2, BIG)
+    b2m = jnp.where(desc_b.mask, b2, BIG)
+    neg2 = -2.0 * jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)  # MXU
+    srow = neg2 + b2m[None, :]
+    neg, idx = jax.lax.top_k(-srow, 2)  # two smallest; ties -> lower index
+    idx1 = idx[..., 0]
+    d1 = jnp.maximum(-neg[..., 0] + a2, 0.0)
+    d2nd = jnp.maximum(-neg[..., 1] + a2, 0.0)
     ratio = jnp.asarray(ratio, jnp.float32)
     # A *real* second neighbor is required (d2nd < BIG): with <2 valid B
     # entries there is no ratio to test — no match (cv2.knnMatch semantics).
     ok = desc_a.mask & (d1 < ratio * ratio * d2nd) & (d2nd < BIG)
     if cross_check:
-        nn_b = _nn_over_rows(d2, desc_a.mask)  # (M,)
-        mutual = nn_b[idx1] == jnp.arange(d2.shape[0])
+        scol = neg2 + a2m[:, None]
+        nn_b = jnp.argmin(scol, axis=0)  # (M,), ties -> lower row index
+        mutual = nn_b[idx1] == jnp.arange(a.shape[0])
         ok = ok & mutual
     return Matches(idx=idx1.astype(jnp.int32), dist=jnp.where(ok, d1, BIG), valid=ok)
 
