@@ -1,0 +1,125 @@
+"""Levenberg-Marquardt bundle adjustment (component T12).
+
+Outer LM loop as a ``lax.while_loop`` (BASELINE.json:5: "distributed
+Levenberg-Marquardt with Schur-complement reduction"): each iteration
+linearizes, solves the Schur-reduced camera system with PCG (ba/schur.py),
+back-substitutes point updates, and accepts/rejects with multiplicative
+damping. Gauge fixed by freezing designated cameras (fixed_cams).
+
+The same solve path is reused by the distributed BA (dist/): the segment-sum
+assembly runs per map-block shard and separator-camera blocks are psum-ed
+over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fastmatch_tpu.core.lie import SE3
+from fastmatch_tpu.ba.problem import BAProblem
+from fastmatch_tpu.ba.schur import assemble, back_substitute, pcg_solve
+
+
+class BAResult(NamedTuple):
+    poses: SE3
+    points: jnp.ndarray
+    cost0: jnp.ndarray
+    cost: jnp.ndarray
+    iters: jnp.ndarray          # LM iterations executed
+    accepted: jnp.ndarray       # LM steps accepted
+
+
+class _LMState(NamedTuple):
+    poses_R: jnp.ndarray
+    poses_t: jnp.ndarray
+    points: jnp.ndarray
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+    it: jnp.ndarray
+    accepted: jnp.ndarray
+    done: jnp.ndarray
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iters", "pcg_iters", "huber_delta_static"),
+)
+def ba_solve(
+    problem: BAProblem,
+    max_iters: int = 20,
+    pcg_iters: int = 40,
+    lam0: float = 1e-3,
+    huber_delta_static: float | None = None,
+    rtol: float = 1e-6,
+) -> BAResult:
+    """Run LM to convergence (or max_iters). Returns refined poses/points.
+
+    huber_delta_static: optional robust-kernel width in normalized image
+    units (static: changes the traced graph).
+    """
+    n_cams = problem.n_cams
+    n_points = problem.n_points
+    obs = problem.obs
+    upd_mask = (problem.cam_mask & ~problem.fixed_cams).astype(jnp.float32)
+    pt_upd = problem.pt_mask.astype(jnp.float32)
+
+    def cost_at(R, t, X):
+        sys, cost = assemble(
+            SE3(R, t), X, obs, n_cams, n_points, huber_delta_static
+        )
+        return sys, cost
+
+    sys0, cost0 = cost_at(problem.poses.R, problem.poses.t, problem.points)
+
+    def body(state: _LMState) -> _LMState:
+        poses = SE3(state.poses_R, state.poses_t)
+        sys, cost = cost_at(state.poses_R, state.poses_t, state.points)
+        dx_c = pcg_solve(sys, obs, state.lam, n_points, upd_mask, iters=pcg_iters)
+        dx_p = back_substitute(sys, obs, state.lam, dx_c, n_points) * pt_upd[:, None]
+        new_poses = jax.vmap(lambda tw, R, t: SE3.exp(tw).compose(SE3(R, t)))(
+            dx_c, state.poses_R, state.poses_t
+        )
+        new_points = state.points + dx_p
+        _, new_cost = cost_at(new_poses.R, new_poses.t, new_points)
+        accept = new_cost < cost
+        R = jnp.where(accept, new_poses.R, state.poses_R)
+        t = jnp.where(accept, new_poses.t, state.poses_t)
+        X = jnp.where(accept, new_points, state.points)
+        lam = jnp.where(accept, state.lam * 0.5, state.lam * 4.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, 1e-12)
+        done = accept & (rel < rtol)
+        return _LMState(
+            R, t, X, lam,
+            jnp.where(accept, new_cost, cost),
+            state.it + 1,
+            state.accepted + accept.astype(jnp.int32),
+            done,
+        )
+
+    def cond(state: _LMState):
+        return (state.it < max_iters) & ~state.done
+
+    init = _LMState(
+        problem.poses.R,
+        problem.poses.t,
+        problem.points,
+        jnp.float32(lam0),
+        cost0,
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return BAResult(
+        poses=SE3(final.poses_R, final.poses_t),
+        points=final.points,
+        cost0=cost0,
+        cost=final.cost,
+        iters=final.it,
+        accepted=final.accepted,
+    )

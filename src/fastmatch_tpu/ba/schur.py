@@ -1,0 +1,180 @@
+"""Schur-complement reduced camera system, matrix-free (components T13/T14).
+
+The camera-point Hessian is sparse; TPUs want dense tiles. This module keeps
+everything in *block form* — per-camera 6x6, per-point 3x3, per-observation
+6x3 coupling blocks — and exposes the reduced system
+
+    S = (H_cc + lam*I) - H_cp (H_pp + lam*I)^-1 H_pc
+
+only through its matrix-vector product: two segment-sums over the observation
+table and one batched 3x3 solve per application. PCG with a block-Jacobi
+(per-camera 6x6 inverse) preconditioner solves S dx_c = rhs without ever
+materializing S (fill-in between cameras sharing points never exists).
+
+All reductions are jax.ops.segment_sum with static segment counts —
+deterministic on TPU (SURVEY.md §8.2 "determinism").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fastmatch_tpu.core.lie import SE3, hat
+
+
+def _project(p):
+    z = jnp.where(jnp.abs(p[..., 2:3]) < 1e-9, 1e-9, p[..., 2:3])
+    return p[..., :2] / z
+
+
+def residuals_and_jacobians(poses: SE3, points, obs, huber_delta: float | None = None):
+    """Per-observation residuals and analytic Jacobians.
+
+    Returns (res (O, 2), Jc (O, 2, 6), Jp (O, 2, 3), w (O,)) where w folds
+    the validity mask and (optionally) Huber IRLS weights. Twist layout is
+    [v, omega] matching core.lie.
+    """
+    Rc = poses.R[obs.cam_idx]  # (O, 3, 3)
+    tc = poses.t[obs.cam_idx]
+    X = points[obs.pt_idx]  # (O, 3)
+    p = jnp.einsum("oij,oj->oi", Rc, X) + tc
+    res = _project(p) - obs.uv  # (O, 2)
+    z = jnp.where(jnp.abs(p[:, 2]) < 1e-9, 1e-9, p[:, 2])
+    iz = 1.0 / z
+    zeros = jnp.zeros_like(iz)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([iz, zeros, -p[:, 0] * iz * iz], -1),
+            jnp.stack([zeros, iz, -p[:, 1] * iz * iz], -1),
+        ],
+        -2,
+    )  # (O, 2, 3) d(res)/d(p_cam)
+    # Camera (left-multiplicative twist on world->cam pose): dp/dxi = [I | -hat(p)]
+    eye = jnp.broadcast_to(jnp.eye(3), (p.shape[0], 3, 3))
+    Jc = Jproj @ jnp.concatenate([eye, -hat(p)], axis=-1)  # (O, 2, 6)
+    # Point: dp/dX = R
+    Jp = Jproj @ Rc  # (O, 2, 3)
+    w = obs.mask.astype(jnp.float32)
+    # Cheirality: observations that went behind the camera get zero weight
+    # for this iteration instead of exploding.
+    w = w * (p[:, 2] > 1e-6)
+    if huber_delta is not None:
+        rn = jnp.linalg.norm(res, axis=-1)
+        w = w * jnp.where(rn <= huber_delta, 1.0, huber_delta / jnp.maximum(rn, 1e-12))
+    return res, Jc, Jp, w
+
+
+class BlockSystem(NamedTuple):
+    """Block normal equations assembled from one linearization."""
+
+    Hcc: jnp.ndarray  # (C, 6, 6)
+    Hpp: jnp.ndarray  # (P, 3, 3)
+    Wcp: jnp.ndarray  # (O, 6, 3) per-observation coupling J_c^T J_p (weighted)
+    gc: jnp.ndarray   # (C, 6)   -J_c^T r
+    gp: jnp.ndarray   # (P, 3)   -J_p^T r
+    Jc: jnp.ndarray
+    Jp: jnp.ndarray
+    w: jnp.ndarray
+
+
+def assemble(poses, points, obs, n_cams, n_points, huber_delta=None):
+    res, Jc, Jp, w = residuals_and_jacobians(poses, points, obs, huber_delta)
+    wv = w[:, None, None]
+    Hcc = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", Jc * wv, Jc), obs.cam_idx, num_segments=n_cams
+    )
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("oki,okj->oij", Jp * wv, Jp), obs.pt_idx, num_segments=n_points
+    )
+    Wcp = jnp.einsum("oki,okj->oij", Jc * wv, Jp)  # (O, 6, 3)
+    gc = -jax.ops.segment_sum(
+        jnp.einsum("oki,ok->oi", Jc * wv, res), obs.cam_idx, num_segments=n_cams
+    )
+    gp = -jax.ops.segment_sum(
+        jnp.einsum("oki,ok->oi", Jp * wv, res), obs.pt_idx, num_segments=n_points
+    )
+    cost = 0.5 * jnp.sum(w * jnp.sum(res * res, -1))
+    return BlockSystem(Hcc, Hpp, Wcp, gc, gp, Jc, Jp, w), cost
+
+
+def _damped(H, lam):
+    """Levenberg damping: H + lam * diag(H) + eps*I (scale-invariant)."""
+    d = jnp.diagonal(H, axis1=-2, axis2=-1)
+    eye = jnp.eye(H.shape[-1])
+    return H + (lam * d + 1e-8)[..., None, :] * eye
+
+
+def schur_matvec(sys: BlockSystem, obs, lam, x, n_points, cam_update_mask):
+    """S @ x for the reduced camera system; x: (C, 6) flattened blocks.
+
+    cam_update_mask zeroes rows/cols of fixed (gauge) cameras so they stay
+    put without changing the system's conditioning for the rest.
+    """
+    x = x * cam_update_mask[:, None]
+    Hpp_l = _damped(sys.Hpp, lam)
+    # y_p = sum_o W_cp(o)^T x[cam_o]
+    yo = jnp.einsum("oij,oi->oj", sys.Wcp, x[obs.cam_idx])  # (O, 3)
+    yp = jax.ops.segment_sum(yo, obs.pt_idx, num_segments=n_points)
+    zp = jnp.linalg.solve(Hpp_l, yp[..., None])[..., 0]  # (P, 3)
+    # w_c = sum_o W_cp(o) z[pt_o]
+    wo = jnp.einsum("oij,oj->oi", sys.Wcp, zp[obs.pt_idx])  # (O, 6)
+    wc = jax.ops.segment_sum(wo, obs.cam_idx, num_segments=x.shape[0])
+    Sx = jnp.einsum("cij,cj->ci", _damped(sys.Hcc, lam), x) - wc
+    return Sx * cam_update_mask[:, None]
+
+
+def reduced_rhs(sys: BlockSystem, obs, lam, n_points, cam_update_mask):
+    """rhs = gc - H_cp (H_pp+lam)^-1 gp."""
+    Hpp_l = _damped(sys.Hpp, lam)
+    zp = jnp.linalg.solve(Hpp_l, sys.gp[..., None])[..., 0]
+    wo = jnp.einsum("oij,oj->oi", sys.Wcp, zp[obs.pt_idx])
+    wc = jax.ops.segment_sum(wo, obs.cam_idx, num_segments=sys.gc.shape[0])
+    return (sys.gc - wc) * cam_update_mask[:, None]
+
+
+def back_substitute(sys: BlockSystem, obs, lam, dx_c, n_points):
+    """dx_p = (H_pp+lam)^-1 (gp - H_pc dx_c)."""
+    yo = jnp.einsum("oij,oi->oj", sys.Wcp, dx_c[obs.cam_idx])
+    yp = jax.ops.segment_sum(yo, obs.pt_idx, num_segments=n_points)
+    Hpp_l = _damped(sys.Hpp, lam)
+    return jnp.linalg.solve(Hpp_l, (sys.gp - yp)[..., None])[..., 0]
+
+
+def pcg_solve(sys: BlockSystem, obs, lam, n_points, cam_update_mask, iters: int = 40):
+    """Preconditioned CG on the reduced camera system (component T14).
+
+    Block-Jacobi preconditioner: per-camera 6x6 inverse of damped H_cc.
+    Fixed iteration count with early stagnation guarded by rs tracking (no
+    data-dependent exit; extra iterations are no-ops numerically).
+    """
+    rhs = reduced_rhs(sys, obs, lam, n_points, cam_update_mask)
+    Minv = jnp.linalg.inv(_damped(sys.Hcc, lam))
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", Minv, r) * cam_update_mask[:, None]
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+
+    def body(_, state):
+        x, r, z, p, rz = state
+        Sp = schur_matvec(sys, obs, lam, p, n_points, cam_update_mask)
+        pSp = jnp.sum(p * Sp)
+        alpha = rz / jnp.where(jnp.abs(pSp) < 1e-20, 1.0, pSp)
+        alpha = jnp.where(jnp.abs(pSp) < 1e-20, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1.0, rz)
+        beta = jnp.where(jnp.abs(rz) < 1e-20, 0.0, beta)
+        p = z + beta * p
+        return x, r, z, p, rz_new
+
+    x, r, *_ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, p0, jnp.sum(r0 * z0)))
+    return x
