@@ -1,0 +1,64 @@
+"""Config system (component T22): frozen dataclasses per layer, composed.
+
+Configs are hashable/static so they can be passed through jit boundaries as
+static arguments; ``config_hash`` is recorded in checkpoints (T23).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+
+from fastmatch_tpu.features.sift import SIFTConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchingConfig:
+    ratio: float = 0.8
+    cross_check: bool = True
+    backend: str = "auto"  # jnp | pallas | auto
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    n_hyp: int = 512
+    thr_px: float = 2.0          # inlier threshold in pixels (converted by f)
+    min_inliers: int = 15
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    max_iters: int = 15
+    pcg_iters: int = 40
+    huber_px: float = 2.0
+    interval: int = 5            # run BA every N frames
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    max_frames: int = 64
+    max_points: int = 8192
+    max_obs: int = 65536
+    min_parallax_deg: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    sift: SIFTConfig = SIFTConfig()
+    matching: MatchingConfig = MatchingConfig()
+    ransac: RansacConfig = RansacConfig()
+    ba: BAConfig = BAConfig()
+    map: MapConfig = MapConfig()
+
+    def config_hash(self) -> str:
+        def enc(o):
+            if dataclasses.is_dataclass(o):
+                return {f.name: enc(getattr(o, f.name)) for f in dataclasses.fields(o)}
+            if hasattr(o, "_asdict"):
+                return dict(o._asdict())
+            return o
+
+        return hashlib.sha256(
+            json.dumps(enc(self), sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
