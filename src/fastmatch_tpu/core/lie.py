@@ -74,18 +74,20 @@ class SO3:
         vanishing skew part.
         """
         w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-        sin_norm = jnp.linalg.norm(w_skew, axis=-1)
+        sn2 = jnp.sum(w_skew * w_skew, axis=-1)
         trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
         cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+        # Near-identity detection must avoid theta (whose sqrt has a NaN grad
+        # at 0 and would leak through jnp.where under autodiff): sn2 small
+        # AND cos > 0 (sn2 is also small near pi).
+        small = (sn2 < 1e-12) & (cos_t > 0.0)
+        sn2_safe = jnp.where(small, 1.0, sn2)  # double-where for grad safety
+        sin_norm = jnp.sqrt(sn2_safe)
         theta = jnp.arctan2(sin_norm, cos_t)
-        small = theta < 1e-4
         near_pi = theta > 2.7  # ~0.86*pi: switch before sin(theta) degrades
-        # Generic branch: (theta / sin(theta)) * w_skew, Taylor near zero.
-        scale = jnp.where(
-            small,
-            1.0 + theta * theta / 6.0,
-            theta / jnp.where(sin_norm < _EPS, 1.0, sin_norm),
-        )
+        # Generic branch: (theta / sin(theta)) * w_skew; near identity
+        # theta ~ sin ~ sqrt(sn2), so scale ~ 1 + sn2/6 (theta-free Taylor).
+        scale = jnp.where(small, 1.0 + sn2 / 6.0, theta / sin_norm)
         w_generic = scale[..., None] * w_skew
         # Near-pi branch: B = (R + R^T)/2 - cos*I = (1 - cos) aa^T; take the
         # column with the largest diagonal (best-conditioned), normalize, and
@@ -95,8 +97,8 @@ class SO3:
         diagB = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
         k = jnp.argmax(diagB, axis=-1)
         col = jnp.take_along_axis(jnp.swapaxes(B, -1, -2), k[..., None, None], axis=-2)[..., 0, :]
-        col_norm = jnp.linalg.norm(col, axis=-1, keepdims=True)
-        axis = col / jnp.where(col_norm < _EPS, 1.0, col_norm)
+        cn2 = jnp.sum(col * col, axis=-1, keepdims=True)
+        axis = col / jnp.sqrt(jnp.where(cn2 < _EPS * _EPS, 1.0, cn2))
         sign = jnp.where(jnp.sum(axis * w_skew, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
         w_pi = theta[..., None] * axis * sign
         return jnp.where(near_pi[..., None], w_pi, w_generic)

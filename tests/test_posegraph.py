@@ -1,0 +1,120 @@
+"""Pose-graph tests: drifted odometry + loop closure must snap back to
+ground truth (config-4 machinery, SURVEY.md §5.2)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fastmatch_tpu.core.lie import SE3
+from fastmatch_tpu.posegraph.pgo import PoseGraph, pgo_solve, edge_residuals
+from fastmatch_tpu.utils.evaluation import ate_rmse
+
+
+def circle_trajectory(n, radius=5.0):
+    """Ground-truth poses around a circle (world->cam)."""
+    Rs, ts = [], []
+    for k in range(n):
+        ang = 2 * np.pi * k / n
+        # Camera yaw follows the tangent.
+        c, s = np.cos(ang), np.sin(ang)
+        R_wc = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])  # cam axes in world
+        eye = np.array([radius * s, 0.0, -radius * c])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ eye
+        Rs.append(R_cw)
+        ts.append(t_cw)
+    return np.stack(Rs).astype(np.float32), np.stack(ts).astype(np.float32)
+
+
+def rel(Ra, ta, Rb, tb):
+    """Measurement Z_ab = T_a T_b^-1."""
+    Ta = SE3(jnp.asarray(Ra), jnp.asarray(ta))
+    Tb = SE3(jnp.asarray(Rb), jnp.asarray(tb))
+    return Ta.compose(Tb.inverse())
+
+
+def build_graph(rng, n=40, drift=0.02, loop=True, bad_loop=False):
+    Rg, tg = circle_trajectory(n)
+    # Odometry-integrated initial guess with accumulated drift.
+    R0 = [Rg[0]]
+    t0 = [tg[0]]
+    ei, ej, ZR, Zt, w = [], [], [], [], []
+    for k in range(1, n):
+        Z = rel(Rg[k], tg[k], Rg[k - 1], tg[k - 1])  # k relative to k-1
+        noise = SE3.exp(jnp.asarray(np.concatenate([
+            drift * rng.standard_normal(3), drift * 0.5 * rng.standard_normal(3)
+        ]).astype(np.float32)))
+        Zn = noise.compose(Z)
+        # Integrate noisy odometry: T_k = Zn T_{k-1}.
+        Tk = Zn.compose(SE3(jnp.asarray(R0[-1]), jnp.asarray(t0[-1])))
+        R0.append(np.array(Tk.R))
+        t0.append(np.array(Tk.t))
+        ei.append(k)
+        ej.append(k - 1)
+        ZR.append(np.array(Zn.R))
+        Zt.append(np.array(Zn.t))
+        w.append(1.0)
+    if loop:
+        # Loop closure: exact measurement between last and first frames.
+        Z = rel(Rg[n - 1], tg[n - 1], Rg[0], tg[0])
+        ei.append(n - 1)
+        ej.append(0)
+        ZR.append(np.array(Z.R))
+        Zt.append(np.array(Z.t))
+        w.append(1.0)
+    if bad_loop:
+        # A wrong loop closure (random transform) to test robustness.
+        Zbad = SE3.exp(jnp.asarray(rng.standard_normal(6).astype(np.float32)))
+        ei.append(n // 2)
+        ej.append(0)
+        ZR.append(np.array(Zbad.R))
+        Zt.append(np.array(Zbad.t))
+        w.append(1.0)
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    g = PoseGraph(
+        poses=SE3(jnp.asarray(np.stack(R0)), jnp.asarray(np.stack(t0))),
+        edge_i=jnp.asarray(np.array(ei, np.int32)),
+        edge_j=jnp.asarray(np.array(ej, np.int32)),
+        Z=SE3(jnp.asarray(np.stack(ZR)), jnp.asarray(np.stack(Zt))),
+        edge_weight=jnp.asarray(np.array(w, np.float32)),
+        pose_mask=jnp.ones(n, bool),
+        fixed=jnp.asarray(fixed),
+    )
+    return g, Rg, tg
+
+
+def centers(R, t):
+    return -np.einsum("fji,fj->fi", np.asarray(R), np.asarray(t))
+
+
+class TestPGO:
+    def test_residual_zero_at_gt(self, rng):
+        g, Rg, tg = build_graph(rng, n=10, drift=0.0)
+        r = edge_residuals(SE3(jnp.asarray(Rg[:10]), jnp.asarray(tg[:10])), g)
+        assert float(jnp.abs(r).max()) < 1e-4
+
+    def test_loop_closure_fixes_drift(self, rng):
+        g, Rg, tg = build_graph(rng, n=40, drift=0.02, loop=True)
+        drift_ate = float(ate_rmse(jnp.asarray(centers(g.poses.R, g.poses.t)),
+                                   jnp.asarray(centers(Rg, tg))))
+        res = pgo_solve(g, max_iters=40)
+        opt_ate = float(ate_rmse(jnp.asarray(centers(res.poses.R, res.poses.t)),
+                                 jnp.asarray(centers(Rg, tg))))
+        assert float(res.cost) < float(res.cost0)
+        assert opt_ate < drift_ate * 0.5, f"{opt_ate} !< {drift_ate}/2"
+
+    def test_fixed_pose_unmoved(self, rng):
+        g, *_ = build_graph(rng, n=20, drift=0.02)
+        res = pgo_solve(g, max_iters=15)
+        np.testing.assert_allclose(np.asarray(res.poses.R[0]),
+                                   np.asarray(g.poses.R[0]), atol=1e-7)
+
+    def test_huber_rejects_bad_loop(self, rng):
+        g, Rg, tg = build_graph(rng, n=40, drift=0.015, loop=True, bad_loop=True)
+        res_plain = pgo_solve(g, max_iters=40)
+        res_rob = pgo_solve(g, max_iters=40, huber_delta_static=0.1, kernel="geman")
+        gt = jnp.asarray(centers(Rg, tg))
+        ate_plain = float(ate_rmse(jnp.asarray(centers(res_plain.poses.R, res_plain.poses.t)), gt))
+        ate_rob = float(ate_rmse(jnp.asarray(centers(res_rob.poses.R, res_rob.poses.t)), gt))
+        assert ate_rob < ate_plain, f"huber {ate_rob} !< plain {ate_plain}"
+        assert ate_rob < 0.1
