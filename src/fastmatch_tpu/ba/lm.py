@@ -44,17 +44,14 @@ class _LMState(NamedTuple):
     done: jnp.ndarray
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_iters", "pcg_iters", "huber_delta_static"),
-)
-def ba_solve(
+def ba_solve_raw(
     problem: BAProblem,
     max_iters: int = 20,
     pcg_iters: int = 40,
     lam0: float = 1e-3,
     huber_delta_static: float | None = None,
     rtol: float = 1e-6,
+    axis_name: str | None = None,
 ) -> BAResult:
     """Run LM to convergence (or max_iters). Returns refined poses/points.
 
@@ -69,7 +66,8 @@ def ba_solve(
 
     def cost_at(R, t, X):
         sys, cost = assemble(
-            SE3(R, t), X, obs, n_cams, n_points, huber_delta_static
+            SE3(R, t), X, obs, n_cams, n_points, huber_delta_static,
+            axis_name=axis_name,
         )
         return sys, cost
 
@@ -78,8 +76,12 @@ def ba_solve(
     def body(state: _LMState) -> _LMState:
         poses = SE3(state.poses_R, state.poses_t)
         sys, cost = cost_at(state.poses_R, state.poses_t, state.points)
-        dx_c = pcg_solve(sys, obs, state.lam, n_points, upd_mask, iters=pcg_iters)
-        dx_p = back_substitute(sys, obs, state.lam, dx_c, n_points) * pt_upd[:, None]
+        dx_c = pcg_solve(sys, obs, state.lam, n_points, upd_mask,
+                         iters=pcg_iters, axis_name=axis_name)
+        dx_p = (
+            back_substitute(sys, obs, state.lam, dx_c, n_points, axis_name)
+            * pt_upd[:, None]
+        )
         new_poses = jax.vmap(lambda tw, R, t: SE3.exp(tw).compose(SE3(R, t)))(
             dx_c, state.poses_R, state.poses_t
         )
@@ -123,3 +125,7 @@ def ba_solve(
         iters=final.it,
         accepted=final.accepted,
     )
+
+
+ba_solve = partial(jax.jit, static_argnames=(
+    "max_iters", "pcg_iters", "huber_delta_static", "axis_name"))(ba_solve_raw)

@@ -80,23 +80,34 @@ class BlockSystem(NamedTuple):
     w: jnp.ndarray
 
 
-def assemble(poses, points, obs, n_cams, n_points, huber_delta=None):
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def assemble(poses, points, obs, n_cams, n_points, huber_delta=None,
+             axis_name=None):
+    """Assemble block normal equations from the (possibly sharded)
+    observation table. With ``axis_name`` set (inside shard_map over an
+    observation shard per device), per-camera/per-point partial sums are
+    psum-reduced over the mesh axis — the distributed-BA path (T18):
+    observations partition across devices, camera/point blocks are global.
+    """
     res, Jc, Jp, w = residuals_and_jacobians(poses, points, obs, huber_delta)
     wv = w[:, None, None]
-    Hcc = jax.ops.segment_sum(
+    Hcc = _psum(jax.ops.segment_sum(
         jnp.einsum("oki,okj->oij", Jc * wv, Jc), obs.cam_idx, num_segments=n_cams
-    )
-    Hpp = jax.ops.segment_sum(
+    ), axis_name)
+    Hpp = _psum(jax.ops.segment_sum(
         jnp.einsum("oki,okj->oij", Jp * wv, Jp), obs.pt_idx, num_segments=n_points
-    )
-    Wcp = jnp.einsum("oki,okj->oij", Jc * wv, Jp)  # (O, 6, 3)
-    gc = -jax.ops.segment_sum(
+    ), axis_name)
+    Wcp = jnp.einsum("oki,okj->oij", Jc * wv, Jp)  # (O_local, 6, 3) stays sharded
+    gc = -_psum(jax.ops.segment_sum(
         jnp.einsum("oki,ok->oi", Jc * wv, res), obs.cam_idx, num_segments=n_cams
-    )
-    gp = -jax.ops.segment_sum(
+    ), axis_name)
+    gp = -_psum(jax.ops.segment_sum(
         jnp.einsum("oki,ok->oi", Jp * wv, res), obs.pt_idx, num_segments=n_points
-    )
-    cost = 0.5 * jnp.sum(w * jnp.sum(res * res, -1))
+    ), axis_name)
+    cost = _psum(0.5 * jnp.sum(w * jnp.sum(res * res, -1)), axis_name)
     return BlockSystem(Hcc, Hpp, Wcp, gc, gp, Jc, Jp, w), cost
 
 
@@ -107,50 +118,58 @@ def _damped(H, lam):
     return H + (lam * d + 1e-8)[..., None, :] * eye
 
 
-def schur_matvec(sys: BlockSystem, obs, lam, x, n_points, cam_update_mask):
+def schur_matvec(sys: BlockSystem, obs, lam, x, n_points, cam_update_mask,
+                 axis_name=None):
     """S @ x for the reduced camera system; x: (C, 6) flattened blocks.
 
     cam_update_mask zeroes rows/cols of fixed (gauge) cameras so they stay
-    put without changing the system's conditioning for the rest.
+    put without changing the system's conditioning for the rest. With
+    ``axis_name``, the two coupling segment-sums reduce over observation
+    shards (psum on ICI) — x, Hcc, Hpp replicated, Wcp sharded.
     """
     x = x * cam_update_mask[:, None]
     Hpp_l = _damped(sys.Hpp, lam)
     # y_p = sum_o W_cp(o)^T x[cam_o]
     yo = jnp.einsum("oij,oi->oj", sys.Wcp, x[obs.cam_idx])  # (O, 3)
-    yp = jax.ops.segment_sum(yo, obs.pt_idx, num_segments=n_points)
+    yp = _psum(jax.ops.segment_sum(yo, obs.pt_idx, num_segments=n_points), axis_name)
     zp = jnp.linalg.solve(Hpp_l, yp[..., None])[..., 0]  # (P, 3)
     # w_c = sum_o W_cp(o) z[pt_o]
     wo = jnp.einsum("oij,oj->oi", sys.Wcp, zp[obs.pt_idx])  # (O, 6)
-    wc = jax.ops.segment_sum(wo, obs.cam_idx, num_segments=x.shape[0])
+    wc = _psum(jax.ops.segment_sum(wo, obs.cam_idx, num_segments=x.shape[0]), axis_name)
     Sx = jnp.einsum("cij,cj->ci", _damped(sys.Hcc, lam), x) - wc
     return Sx * cam_update_mask[:, None]
 
 
-def reduced_rhs(sys: BlockSystem, obs, lam, n_points, cam_update_mask):
+def reduced_rhs(sys: BlockSystem, obs, lam, n_points, cam_update_mask,
+                axis_name=None):
     """rhs = gc - H_cp (H_pp+lam)^-1 gp."""
     Hpp_l = _damped(sys.Hpp, lam)
     zp = jnp.linalg.solve(Hpp_l, sys.gp[..., None])[..., 0]
     wo = jnp.einsum("oij,oj->oi", sys.Wcp, zp[obs.pt_idx])
-    wc = jax.ops.segment_sum(wo, obs.cam_idx, num_segments=sys.gc.shape[0])
+    wc = _psum(jax.ops.segment_sum(wo, obs.cam_idx, num_segments=sys.gc.shape[0]),
+               axis_name)
     return (sys.gc - wc) * cam_update_mask[:, None]
 
 
-def back_substitute(sys: BlockSystem, obs, lam, dx_c, n_points):
+def back_substitute(sys: BlockSystem, obs, lam, dx_c, n_points, axis_name=None):
     """dx_p = (H_pp+lam)^-1 (gp - H_pc dx_c)."""
     yo = jnp.einsum("oij,oi->oj", sys.Wcp, dx_c[obs.cam_idx])
-    yp = jax.ops.segment_sum(yo, obs.pt_idx, num_segments=n_points)
+    yp = _psum(jax.ops.segment_sum(yo, obs.pt_idx, num_segments=n_points), axis_name)
     Hpp_l = _damped(sys.Hpp, lam)
     return jnp.linalg.solve(Hpp_l, (sys.gp - yp)[..., None])[..., 0]
 
 
-def pcg_solve(sys: BlockSystem, obs, lam, n_points, cam_update_mask, iters: int = 40):
+def pcg_solve(sys: BlockSystem, obs, lam, n_points, cam_update_mask,
+              iters: int = 40, axis_name=None):
     """Preconditioned CG on the reduced camera system (component T14).
 
     Block-Jacobi preconditioner: per-camera 6x6 inverse of damped H_cc.
     Fixed iteration count with early stagnation guarded by rs tracking (no
-    data-dependent exit; extra iterations are no-ops numerically).
+    data-dependent exit; extra iterations are no-ops numerically). With
+    ``axis_name``, each matvec psum-reduces over observation shards; the CG
+    state (x, r, z, p) is replicated so the scalar reductions need no psum.
     """
-    rhs = reduced_rhs(sys, obs, lam, n_points, cam_update_mask)
+    rhs = reduced_rhs(sys, obs, lam, n_points, cam_update_mask, axis_name)
     Minv = jnp.linalg.inv(_damped(sys.Hcc, lam))
 
     def precond(r):
@@ -163,7 +182,7 @@ def pcg_solve(sys: BlockSystem, obs, lam, n_points, cam_update_mask, iters: int 
 
     def body(_, state):
         x, r, z, p, rz = state
-        Sp = schur_matvec(sys, obs, lam, p, n_points, cam_update_mask)
+        Sp = schur_matvec(sys, obs, lam, p, n_points, cam_update_mask, axis_name)
         pSp = jnp.sum(p * Sp)
         alpha = rz / jnp.where(jnp.abs(pSp) < 1e-20, 1.0, pSp)
         alpha = jnp.where(jnp.abs(pSp) < 1e-20, 0.0, alpha)
