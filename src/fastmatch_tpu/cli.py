@@ -1,0 +1,185 @@
+"""Command-line interface (component T22).
+
+Subcommands:
+  match       — match two descriptor files (.npy) or two images
+  reconstruct — incremental SfM over an image directory / .npz features
+  bench       — matching throughput benchmark (same as repo-root bench.py)
+  info        — devices, mesh, versions
+
+Config: --config YAML/JSON file + dotted --set overrides, e.g.
+  fastmatch-tpu reconstruct seq/ --set ba.interval=3 --set matching.ratio=0.75
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _load_config(args):
+    from fastmatch_tpu.pipeline.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    data = {}
+    if args.config:
+        text = open(args.config).read()
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml  # type: ignore
+
+            data = yaml.safe_load(text)
+    for kv in args.set or []:
+        k, v = kv.split("=", 1)
+        d = data
+        parts = k.split(".")
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        try:
+            d[parts[-1]] = json.loads(v)
+        except json.JSONDecodeError:
+            d[parts[-1]] = v
+
+    def apply(obj, overrides):
+        if not overrides:
+            return obj
+        kw = {}
+        for f in dataclasses.fields(obj):
+            if f.name in overrides:
+                cur = getattr(obj, f.name)
+                ov = overrides[f.name]
+                kw[f.name] = apply(cur, ov) if isinstance(ov, dict) else ov
+        return dataclasses.replace(obj, **kw)
+
+    return apply(cfg, data)
+
+
+def cmd_info(args):
+    import jax
+
+    print(f"jax {jax.__version__} backend={jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    print(f"process {jax.process_index()}/{jax.process_count()}")
+
+
+def cmd_match(args):
+    import jax.numpy as jnp
+    from fastmatch_tpu.core.containers import descriptors_from_numpy
+    from fastmatch_tpu.matching.matcher import match_pair
+
+    cfg = _load_config(args)
+    da = descriptors_from_numpy(np.load(args.a).astype(np.float32))
+    db = descriptors_from_numpy(np.load(args.b).astype(np.float32))
+    m = match_pair(da, db, ratio=cfg.matching.ratio,
+                   cross_check=cfg.matching.cross_check,
+                   backend=cfg.matching.backend)
+    valid = np.asarray(m.valid)
+    idx = np.asarray(m.idx)
+    out = np.stack([np.where(valid)[0], idx[valid]], axis=1)
+    if args.out:
+        np.save(args.out, out)
+    print(json.dumps({"n_matches": int(valid.sum()), "out": args.out}))
+
+
+def cmd_reconstruct(args):
+    import glob
+    import jax.numpy as jnp
+    from fastmatch_tpu.core.camera import Pinhole
+    from fastmatch_tpu.pipeline.reconstruct import reconstruct
+
+    cfg = _load_config(args)
+    fx = args.focal
+    if args.input.endswith(".npz"):
+        data = np.load(args.input)
+        n = int(data["n_frames"])
+        feats = [
+            (data[f"xy_{i}"], data[f"desc_{i}"], data[f"mask_{i}"]) for i in range(n)
+        ]
+        w, h = data["image_size"]
+    else:
+        import cv2  # image decode only — detection runs in XLA
+
+        paths = sorted(glob.glob(args.input + "/*"))
+        imgs = [cv2.imread(p, cv2.IMREAD_GRAYSCALE) for p in paths]
+        h, w = imgs[0].shape
+        from fastmatch_tpu.features.sift import detect_and_describe
+
+        feats = []
+        for im in imgs:
+            kps, descs = detect_and_describe(
+                jnp.asarray(im.astype(np.float32) / 255.0), cfg.sift
+            )
+            feats.append(
+                (np.array(kps.xy), np.array(descs.data), np.array(descs.mask))
+            )
+    cam = Pinhole.from_K(
+        np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
+    )
+    rec = reconstruct(feats, cam, cfg)
+    centers = rec.camera_centers()
+    if args.out:
+        np.savez(
+            args.out, centers=centers, R=rec.R[: rec.n_frames],
+            t=rec.t[: rec.n_frames], points=rec.points[rec.pt_mask],
+        )
+    if args.checkpoint:
+        from fastmatch_tpu.pipeline.checkpoint import save_map
+
+        save_map(rec, args.checkpoint)
+    print(
+        json.dumps(
+            {
+                "n_frames": rec.n_frames,
+                "n_points": int(rec.pt_mask.sum()),
+                "n_obs": rec.n_obs,
+                "out": args.out,
+            }
+        )
+    )
+
+
+def cmd_bench(args):
+    import runpy
+    import os
+
+    runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
+        run_name="__main__",
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fastmatch-tpu")
+    p.add_argument("--config", help="YAML/JSON config file")
+    p.add_argument("--set", action="append", help="dotted config override k=v")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("info")
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("match")
+    sp.add_argument("a")
+    sp.add_argument("b")
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_match)
+
+    sp = sub.add_parser("reconstruct")
+    sp.add_argument("input", help="image dir or features .npz")
+    sp.add_argument("--focal", type=float, default=500.0)
+    sp.add_argument("--out")
+    sp.add_argument("--checkpoint")
+    sp.set_defaults(fn=cmd_reconstruct)
+
+    sp = sub.add_parser("bench")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

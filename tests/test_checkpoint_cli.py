@@ -1,0 +1,110 @@
+"""Checkpoint/resume (T23) and CLI (T22) tests, incl. the fault-injection
+resume-equivalence model (SURVEY.md §6.3: checkpoint-restart)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fastmatch_tpu.core.camera import Pinhole
+from fastmatch_tpu.pipeline.checkpoint import restore_map, save_map
+from fastmatch_tpu.pipeline.config import BAConfig, MapConfig, PipelineConfig
+from fastmatch_tpu.pipeline.reconstruct import Reconstruction, reconstruct
+from synth import SyntheticScene
+from test_pipeline import synthetic_features
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(
+        ba=BAConfig(interval=4, max_iters=8),
+        map=MapConfig(max_frames=16, max_points=2048, max_obs=16384),
+    )
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, rng, cfg, tmp_path):
+        scene = SyntheticScene(rng, n_points=200, n_frames=6)
+        feats = synthetic_features(rng, scene)
+        cam = Pinhole.from_K(scene.K)
+        rec = reconstruct(feats, cam, cfg)
+        save_map(rec, str(tmp_path / "ckpt"))
+        rec2 = Reconstruction(cfg=cfg, camera=cam)
+        restore_map(rec2, str(tmp_path / "ckpt"))
+        np.testing.assert_array_equal(rec2.R, rec.R)
+        np.testing.assert_array_equal(rec2.points, rec.points)
+        assert rec2.n_obs == rec.n_obs and rec2.n_points == rec.n_points
+
+    def test_config_hash_mismatch(self, rng, cfg, tmp_path):
+        scene = SyntheticScene(rng, n_points=150, n_frames=6)
+        feats = synthetic_features(rng, scene)
+        cam = Pinhole.from_K(scene.K)
+        rec = reconstruct(feats, cam, cfg)
+        save_map(rec, str(tmp_path / "ckpt2"))
+        other = PipelineConfig(
+            ba=BAConfig(interval=3),
+            map=MapConfig(max_frames=16, max_points=2048, max_obs=16384),
+        )
+        rec2 = Reconstruction(cfg=other, camera=cam)
+        with pytest.raises(ValueError, match="config hash"):
+            restore_map(rec2, str(tmp_path / "ckpt2"))
+
+    def test_resume_equivalence_after_kill(self, rng, cfg, tmp_path):
+        """Fault-injection model: process dies mid-sequence; a resumed run
+        continues BA from the snapshot and still refines (costs decrease)."""
+        scene = SyntheticScene(rng, n_points=200, n_frames=8)
+        feats = synthetic_features(rng, scene, noise_px=0.4)
+        cam = Pinhole.from_K(scene.K)
+        rec = reconstruct(feats, cam, cfg)  # the "pre-crash" full map
+        save_map(rec, str(tmp_path / "ckpt3"))
+        # "Crash": new process state, restore, run BA again.
+        rec2 = Reconstruction(cfg=cfg, camera=cam)
+        restore_map(rec2, str(tmp_path / "ckpt3"))
+        c0, c1 = rec2.run_ba()
+        assert c1 <= c0 * 1.001
+
+
+class TestCLI:
+    def run_cli(self, *args):
+        return subprocess.run(
+            [sys.executable, "-m", "fastmatch_tpu.cli", *args],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "src"},
+        )
+
+    def test_info(self):
+        r = self.run_cli("info")
+        assert r.returncode == 0, r.stderr
+        assert "devices" in r.stdout
+
+    def test_match_files(self, rng, tmp_path):
+        from synth import corresponding_descriptors
+
+        a, b, _ = corresponding_descriptors(rng, 200, noise=0.05, n_distract=56)
+        np.save(tmp_path / "a.npy", a)
+        np.save(tmp_path / "b.npy", b)
+        out = tmp_path / "m.npy"
+        r = self.run_cli(
+            "match", str(tmp_path / "a.npy"), str(tmp_path / "b.npy"),
+            "--out", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        assert stats["n_matches"] > 100
+        m = np.load(out)
+        assert m.shape[1] == 2
+
+    def test_config_override(self, rng, tmp_path):
+        from synth import corresponding_descriptors
+
+        a, b, _ = corresponding_descriptors(rng, 100, noise=0.02)
+        np.save(tmp_path / "a.npy", a)
+        np.save(tmp_path / "b.npy", b)
+        r = self.run_cli(
+            "--set", "matching.ratio=0.99", "--set", "matching.cross_check=false",
+            "match", str(tmp_path / "a.npy"), str(tmp_path / "b.npy"),
+        )
+        assert r.returncode == 0, r.stderr
