@@ -51,7 +51,7 @@ def bench_cpu_cv2(raw, repeats=2):
     return 1.0 / dt
 
 
-def bench_tpu_pallas(da, db, repeats=10):
+def bench_tpu_pallas(da, db, repeats=20):
     import jax
     from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
 
@@ -60,11 +60,15 @@ def bench_tpu_pallas(da, db, repeats=10):
         return jax.vmap(lambda a, b: match_pair_pallas(a, b, interpret=False))(da, db)
 
     out = run(da, db)
-    out.idx.block_until_ready()  # compile
+    jax.block_until_ready(out)  # compile + settle queue
+    np.asarray(out.idx[:1, :1])  # force a real device round-trip
+    # Throughput protocol: enqueue `repeats` batches back-to-back, sync once.
+    # (Per-call block_until_ready has proven unreliable through the remote
+    # TPU relay — it can return before execution completes.)
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = run(da, db)
-        out.idx.block_until_ready()
+    outs = [run(da, db) for _ in range(repeats)]
+    jax.block_until_ready(outs[-1])
+    np.asarray(outs[-1].idx[:1, :1])
     dt = (time.perf_counter() - t0) / repeats
     batch = da.data.shape[0]
     return batch / dt
