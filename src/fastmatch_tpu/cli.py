@@ -101,18 +101,21 @@ def cmd_reconstruct(args):
         ]
         w, h = data["image_size"]
     else:
-        import cv2  # image decode only — detection runs in XLA
+        from fastmatch_tpu.utils.imageio import load_gray  # native decoder
 
         paths = sorted(glob.glob(args.input + "/*"))
-        imgs = [cv2.imread(p, cv2.IMREAD_GRAYSCALE) for p in paths]
+        imgs = [load_gray(p) for p in paths]
         h, w = imgs[0].shape
+        # Static-shape detector: resize any stragglers to the first frame.
+        imgs = [
+            im if im.shape == (h, w) else load_gray(p, size=(w, h))
+            for p, im in zip(paths, imgs)
+        ]
         from fastmatch_tpu.features.sift import detect_and_describe
 
         feats = []
         for im in imgs:
-            kps, descs = detect_and_describe(
-                jnp.asarray(im.astype(np.float32) / 255.0), cfg.sift
-            )
+            kps, descs = detect_and_describe(jnp.asarray(im), cfg.sift)
             feats.append(
                 (np.array(kps.xy), np.array(descs.data), np.array(descs.mask))
             )
