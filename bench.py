@@ -11,8 +11,11 @@ where vs_baseline is the TPU:CPU speedup (target >= 5x, BASELINE.json:5).
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
 
 import numpy as np
 
