@@ -45,15 +45,21 @@ def _load_config(args):
             d[parts[-1]] = v
 
     def apply(obj, overrides):
+        # Config nodes are frozen dataclasses or NamedTuples (SIFTConfig).
         if not overrides:
             return obj
+        is_nt = hasattr(obj, "_fields")
+        names = obj._fields if is_nt else [f.name for f in dataclasses.fields(obj)]
         kw = {}
-        for f in dataclasses.fields(obj):
-            if f.name in overrides:
-                cur = getattr(obj, f.name)
-                ov = overrides[f.name]
-                kw[f.name] = apply(cur, ov) if isinstance(ov, dict) else ov
-        return dataclasses.replace(obj, **kw)
+        for name in names:
+            if name in overrides:
+                cur = getattr(obj, name)
+                ov = overrides[name]
+                kw[name] = apply(cur, ov) if isinstance(ov, dict) else ov
+        unknown = set(overrides) - set(names)
+        if unknown:
+            raise KeyError(f"unknown config keys {sorted(unknown)} on {type(obj).__name__}")
+        return obj._replace(**kw) if is_nt else dataclasses.replace(obj, **kw)
 
     return apply(cfg, data)
 
@@ -145,6 +151,28 @@ def cmd_reconstruct(args):
     )
 
 
+def cmd_evaluate(args):
+    from fastmatch_tpu.datasets import (
+        load_vgg_dataset,
+        synthesize_warped_pair,
+    )
+    from fastmatch_tpu.datasets import evaluate_pairs
+
+    cfg = _load_config(args)
+    if args.dataset == "synth":
+        pairs = [synthesize_warped_pair(seed) for seed in range(args.n_synth)]
+    else:
+        pairs = load_vgg_dataset(args.dataset)
+    size = (args.resize, args.resize) if args.resize else None
+    results, agg = evaluate_pairs(
+        pairs, sift_cfg=cfg.sift, ratio=cfg.matching.ratio, tol=args.tol,
+        backend=cfg.matching.backend, size=size,
+    )
+    for r in results:
+        print(json.dumps(r))
+    print(json.dumps({"aggregate": agg}))
+
+
 def cmd_bench(args):
     import runpy
     import os
@@ -176,6 +204,16 @@ def main(argv=None):
     sp.add_argument("--out")
     sp.add_argument("--checkpoint")
     sp.set_defaults(fn=cmd_reconstruct)
+
+    sp = sub.add_parser("evaluate")
+    sp.add_argument(
+        "dataset",
+        help="Oxford-VGG sequence dir (img1..imgN + H1to*p) or 'synth'",
+    )
+    sp.add_argument("--n-synth", type=int, default=3)
+    sp.add_argument("--tol", type=float, default=3.0)
+    sp.add_argument("--resize", type=int, default=0)
+    sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("bench")
     sp.set_defaults(fn=cmd_bench)

@@ -1,12 +1,24 @@
-"""Trajectory evaluation: Umeyama similarity alignment and ATE (metric per
-BASELINE.json:2 "ATE on benchmark sequences").
+"""Evaluation harness: match precision/recall vs ground-truth homographies,
+plus trajectory ATE (Umeyama sim(3) alignment).
 
-Monocular reconstructions are defined up to a similarity transform; ATE is
-therefore computed after sim(3) alignment of estimated camera centers to
-ground truth (the standard TUM-RGBD/KITTI evaluation protocol).
+Two graded capabilities live here:
+
+- **Match evaluation** — the reference's top layer (SURVEY.md §2.1/§3.1
+  "Evaluation harness: precision/recall of matches vs ground truth over
+  image-pair datasets"): a predicted match (a_i -> b_j) is correct when the
+  ground-truth homography carries a_i to within ``tol`` pixels of b_j; recall
+  is measured against the A-keypoints that *have* a ground-truth counterpart
+  among the detected B-keypoints. All jnp + mask-aware, so it jits and vmaps
+  over pair batches.
+- **Trajectory ATE** (metric per BASELINE.json:2 "ATE on benchmark
+  sequences"): monocular reconstructions are defined up to a similarity
+  transform; ATE is computed after sim(3) alignment of estimated camera
+  centers to ground truth (the standard TUM-RGBD/KITTI protocol).
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
@@ -48,3 +60,84 @@ def ate_rmse(est_centers: jnp.ndarray, gt_centers: jnp.ndarray, mask=None):
         return jnp.sqrt(jnp.mean(err2))
     w = mask.astype(jnp.float32)
     return jnp.sqrt(jnp.sum(err2 * w) / jnp.maximum(jnp.sum(w), 1e-9))
+
+
+# --------------------------------------------------------------------------
+# Match evaluation vs ground-truth homography
+# --------------------------------------------------------------------------
+
+
+class MatchEval(NamedTuple):
+    """Per-pair match quality vs a ground-truth homography.
+
+    precision: correct / predicted matches (1.0 when nothing predicted).
+    recall:    correct / A-keypoints that have a GT counterpart in B.
+    n_correct, n_predicted, n_gt: the underlying counts (int32 scalars).
+    """
+
+    precision: jnp.ndarray
+    recall: jnp.ndarray
+    n_correct: jnp.ndarray
+    n_predicted: jnp.ndarray
+    n_gt: jnp.ndarray
+
+
+def project_homography(H: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Apply a 3x3 homography to (N, 2) pixel coordinates."""
+    ones = jnp.ones_like(xy[..., :1])
+    p = jnp.concatenate([xy, ones], axis=-1) @ H.T
+    w = jnp.where(jnp.abs(p[..., 2:3]) < 1e-12, 1e-12, p[..., 2:3])
+    return p[..., :2] / w
+
+
+def match_precision_recall(
+    xy_a: jnp.ndarray,
+    mask_a: jnp.ndarray,
+    xy_b: jnp.ndarray,
+    mask_b: jnp.ndarray,
+    match_idx: jnp.ndarray,
+    match_valid: jnp.ndarray,
+    H_ab: jnp.ndarray,
+    tol: float = 3.0,
+) -> MatchEval:
+    """Score predicted matches against a ground-truth homography A->B.
+
+    xy_a (Ca, 2) / xy_b (Cb, 2) with masks; match_idx/match_valid are the
+    ``Matches`` fields for A-against-B. A match is *correct* iff
+    ``|H_ab . xy_a[i] - xy_b[match_idx[i]]| <= tol`` px. An A-keypoint *has
+    ground truth* iff some live B-keypoint lies within tol of its projection
+    (the standard repeatability denominator, computed over detected points so
+    detector misses don't count against the matcher).
+    """
+    proj = project_homography(H_ab, xy_a)  # (Ca, 2)
+    tgt = xy_b[match_idx]
+    err = jnp.linalg.norm(proj - tgt, axis=-1)
+    correct = match_valid & mask_a & (err <= tol)
+
+    # GT existence: min distance from each projected A-keypoint to any live B.
+    d2 = jnp.sum((proj[:, None, :] - xy_b[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(mask_b[None, :], d2, jnp.inf)
+    has_gt = mask_a & (jnp.min(d2, axis=1) <= tol * tol)
+
+    n_correct = jnp.sum(correct).astype(jnp.int32)
+    n_pred = jnp.sum(match_valid & mask_a).astype(jnp.int32)
+    n_gt = jnp.sum(has_gt).astype(jnp.int32)
+    precision = jnp.where(n_pred > 0, n_correct / jnp.maximum(n_pred, 1), 1.0)
+    recall = jnp.where(n_gt > 0, n_correct / jnp.maximum(n_gt, 1), 1.0)
+    return MatchEval(precision, recall, n_correct, n_pred, n_gt)
+
+
+def match_agreement(
+    idx_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    idx_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fraction of slots where two matchers made the same decision — the
+    >=99% agreement gate (BASELINE.json:5) between backends/shardings:
+    both invalid counts as agreement; both valid requires equal indices."""
+    both_valid = valid_a & valid_b
+    agree = jnp.where(
+        both_valid, idx_a == idx_b, jnp.logical_not(valid_a ^ valid_b)
+    )
+    return jnp.mean(agree.astype(jnp.float32))
