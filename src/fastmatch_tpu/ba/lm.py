@@ -21,7 +21,12 @@ import jax.numpy as jnp
 
 from fastmatch_tpu.core.lie import SE3
 from fastmatch_tpu.ba.problem import BAProblem
-from fastmatch_tpu.ba.schur import assemble, back_substitute, pcg_solve
+from fastmatch_tpu.ba.schur import (
+    assemble,
+    back_substitute,
+    damped_pp_inverse,
+    pcg_solve,
+)
 
 
 class BAResult(NamedTuple):
@@ -76,10 +81,14 @@ def ba_solve_raw(
     def body(state: _LMState) -> _LMState:
         poses = SE3(state.poses_R, state.poses_t)
         sys, cost = cost_at(state.poses_R, state.poses_t, state.points)
+        # One damped point-block inverse per LM iteration, shared by the
+        # PCG matvecs and the back-substitution (same sys, same lam).
+        Hpp_inv = damped_pp_inverse(sys, state.lam)
         dx_c = pcg_solve(sys, obs, state.lam, n_points, upd_mask,
-                         iters=pcg_iters, axis_name=axis_name)
+                         iters=pcg_iters, axis_name=axis_name, Hpp_inv=Hpp_inv)
         dx_p = (
-            back_substitute(sys, obs, state.lam, dx_c, n_points, axis_name)
+            back_substitute(sys, obs, state.lam, dx_c, n_points, axis_name,
+                            Hpp_inv=Hpp_inv)
             * pt_upd[:, None]
         )
         new_poses = jax.vmap(lambda tw, R, t: SE3.exp(tw).compose(SE3(R, t)))(

@@ -19,8 +19,11 @@ class Pinhole(NamedTuple):
     fy: jnp.ndarray
     cx: jnp.ndarray
     cy: jnp.ndarray
-    k1: jnp.ndarray = jnp.float32(0.0)
-    k2: jnp.ndarray = jnp.float32(0.0)
+    # Defaults are Python floats, NOT jnp scalars: a device array created at
+    # import time would initialize the XLA backend and break
+    # jax.distributed.initialize()'s must-be-called-first contract (T20).
+    k1: jnp.ndarray | float = 0.0
+    k2: jnp.ndarray | float = 0.0
 
     @staticmethod
     def from_K(K) -> "Pinhole":

@@ -46,16 +46,47 @@ def initialize_distributed(
     }
 
 
+def _encode_cfg(o):
+    """Config tree -> JSON-able dict. Nodes are frozen dataclasses or
+    NamedTuples (SIFTConfig); leaves are plain scalars/strings."""
+    if dataclasses.is_dataclass(o):
+        return {f.name: _encode_cfg(getattr(o, f.name)) for f in dataclasses.fields(o)}
+    if hasattr(o, "_fields"):
+        return {k: _encode_cfg(v) for k, v in o._asdict().items()}
+    if isinstance(o, tuple):
+        return list(o)
+    return o
+
+
+def _rebuild_cfg(template, data):
+    """Rebuild a config of ``template``'s type from decoded JSON ``data`` —
+    every host constructs the same types locally, only values travel."""
+    if dataclasses.is_dataclass(template):
+        kw = {
+            f.name: _rebuild_cfg(getattr(template, f.name), data[f.name])
+            for f in dataclasses.fields(template)
+        }
+        return dataclasses.replace(template, **kw)
+    if hasattr(template, "_fields"):
+        kw = {k: _rebuild_cfg(getattr(template, k), data[k]) for k in template._fields}
+        return template._replace(**kw)
+    if isinstance(template, tuple):
+        return tuple(data)
+    return data
+
+
 def broadcast_config(cfg, is_source: bool | None = None):
-    """Broadcast a (dataclass) config from process 0 to all hosts via a
-    device all-reduce of its JSON bytes — guarantees every host runs the
-    same graded configuration (config hash recorded in checkpoints)."""
+    """Broadcast a config tree from process 0 to all hosts via a device
+    broadcast of its JSON bytes — guarantees every host runs the same graded
+    configuration (config hash recorded in checkpoints)."""
     from jax.experimental import multihost_utils
 
     if jax.process_count() == 1:
         return cfg
-    payload = json.dumps(dataclasses.asdict(cfg), default=str).encode()
+    payload = json.dumps(_encode_cfg(cfg)).encode()
+    if len(payload) > 65536:
+        raise ValueError(f"config too large to broadcast ({len(payload)} bytes)")
     arr = np.frombuffer(payload.ljust(65536, b"\0"), dtype=np.uint8)
     out = multihost_utils.broadcast_one_to_all(arr)
     data = bytes(np.asarray(out)).rstrip(b"\0")
-    return json.loads(data.decode())
+    return _rebuild_cfg(cfg, json.loads(data.decode()))
