@@ -69,19 +69,26 @@ def main():
     print(f"compile+first run: {compile_s:.1f}s cost {float(res.cost0):.4e} -> "
           f"{float(res.cost):.4e} iters={int(res.iters)}", flush=True)
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        res = ba_solve(problem, max_iters=max_iters, pcg_iters=pcg_iters)
-    jax.block_until_ready(res)
-    np.asarray(res.points[:1])
-    dt = (time.perf_counter() - t0) / reps
-    iters = int(res.iters)
-    print(
-        f"{dt*1e3:.1f} ms/solve, {iters} LM iters -> {iters/dt:.2f} LM iters/s "
-        f"({iters*pcg_iters/dt:.0f} PCG matvecs/s)",
-        flush=True,
-    )
+    for label, grouped in (("scatter", None), ("grouped", "auto")):
+        res = ba_solve(problem, grouped=grouped, max_iters=max_iters,
+                       pcg_iters=pcg_iters)
+        jax.block_until_ready(res)
+        np.asarray(res.points[:1])
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = ba_solve(problem, grouped=grouped, max_iters=max_iters,
+                           pcg_iters=pcg_iters)
+        jax.block_until_ready(res)
+        np.asarray(res.points[:1])
+        dt = (time.perf_counter() - t0) / reps
+        iters = int(res.iters)
+        print(
+            f"[{label}] {dt*1e3:.1f} ms/solve, {iters} LM iters -> "
+            f"{iters/dt:.2f} LM iters/s ({iters*pcg_iters/dt:.0f} PCG matvecs/s) "
+            f"cost {float(res.cost0):.4e} -> {float(res.cost):.4e}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

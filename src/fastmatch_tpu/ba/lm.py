@@ -22,9 +22,12 @@ import jax.numpy as jnp
 from fastmatch_tpu.core.lie import SE3
 from fastmatch_tpu.ba.problem import BAProblem
 from fastmatch_tpu.ba.schur import (
+    GroupedObs,
     assemble,
+    assemble_grouped,
     back_substitute,
     damped_pp_inverse,
+    group_observations,
     pcg_solve,
 )
 
@@ -57,11 +60,14 @@ def ba_solve_raw(
     huber_delta_static: float | None = None,
     rtol: float = 1e-6,
     axis_name: str | None = None,
+    grouped: GroupedObs | None = None,
 ) -> BAResult:
     """Run LM to convergence (or max_iters). Returns refined poses/points.
 
     huber_delta_static: optional robust-kernel width in normalized image
     units (static: changes the traced graph).
+    grouped: optional block-dense observation grouping (group_observations);
+    switches the PCG inner loop to the scatter-free matvec (T13).
     """
     n_cams = problem.n_cams
     n_points = problem.n_points
@@ -70,11 +76,15 @@ def ba_solve_raw(
     pt_upd = problem.pt_mask.astype(jnp.float32)
 
     def cost_at(R, t, X):
-        sys, cost = assemble(
+        if grouped is not None:
+            return assemble_grouped(
+                SE3(R, t), X, obs, grouped, n_cams, n_points,
+                huber_delta_static, axis_name=axis_name,
+            )
+        return assemble(
             SE3(R, t), X, obs, n_cams, n_points, huber_delta_static,
             axis_name=axis_name,
         )
-        return sys, cost
 
     sys0, cost0 = cost_at(problem.poses.R, problem.poses.t, problem.points)
 
@@ -83,9 +93,14 @@ def ba_solve_raw(
         sys, cost = cost_at(state.poses_R, state.poses_t, state.points)
         # One damped point-block inverse per LM iteration, shared by the
         # PCG matvecs and the back-substitution (same sys, same lam).
+        # (The fully scatter-free PCG variant — pcg_solve_grouped — trades
+        # per-matvec scatters for one big Wcp pre-gather per LM iteration;
+        # on v5e the pre-gather loses below ~110 matvecs/iteration, so the
+        # default inner loop stays on segment-sums. See tests for parity.)
         Hpp_inv = damped_pp_inverse(sys, state.lam)
         dx_c = pcg_solve(sys, obs, state.lam, n_points, upd_mask,
-                         iters=pcg_iters, axis_name=axis_name, Hpp_inv=Hpp_inv)
+                         iters=pcg_iters, axis_name=axis_name,
+                         Hpp_inv=Hpp_inv)
         dx_p = (
             back_substitute(sys, obs, state.lam, dx_c, n_points, axis_name,
                             Hpp_inv=Hpp_inv)
@@ -136,5 +151,26 @@ def ba_solve_raw(
     )
 
 
-ba_solve = partial(jax.jit, static_argnames=(
+_ba_solve_jit = partial(jax.jit, static_argnames=(
     "max_iters", "pcg_iters", "huber_delta_static", "axis_name"))(ba_solve_raw)
+
+
+def ba_solve(problem: BAProblem, grouped: GroupedObs | None | str = None,
+             **kwargs) -> BAResult:
+    """Jitted BA entry point.
+
+    ``grouped="auto"`` builds the block-dense observation grouping host-side
+    (requires a concrete observation table) and switches assembly to the
+    scatter-free einsum path. Measured on v5e at 128 cams / 16k pts / 131k
+    obs, the default segment-sum path and the grouped path are within 3% of
+    each other (the grouped layout's large-table gathers cost what the
+    scatters cost), so the simpler default stays; the grouped path is kept
+    as a tested alternative for topologies where gathers are cheaper.
+    """
+    if grouped == "auto":
+        grouped = None
+        if not isinstance(jnp.asarray(problem.obs.cam_idx), jax.core.Tracer):
+            grouped = group_observations(
+                problem.obs, problem.n_cams, problem.n_points
+            )
+    return _ba_solve_jit(problem, grouped=grouped, **kwargs)

@@ -242,3 +242,199 @@ def pcg_solve(sys: BlockSystem, obs, lam, n_points, cam_update_mask,
 
     x, r, *_ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, p0, jnp.sum(r0 * z0)))
     return x
+
+
+# --------------------------------------------------------------------------
+# Scatter-free grouped layout (component T13: block-dense Schur reduction)
+# --------------------------------------------------------------------------
+
+
+class GroupedObs(NamedTuple):
+    """Block-dense observation layout (SURVEY.md §8.2 "block-dense layout per
+    map block"): the observation table grouped by point and by camera at
+    static widths, so every per-point / per-camera reduction in the Schur
+    matvec is a dense einsum over a gathered tile — NO scatter anywhere in
+    the PCG loop.
+
+    Measured reality on v5e (131k obs): per-matvec the grouped path wins
+    (3.2 vs 4.2 ms), but pre-gathering Wcp into the grouped tiles costs
+    ~116 ms per LM iteration (TPU gathers of 72-byte rows from a 131k-row
+    table run at ~300 MB/s), so it only pays past ~110 matvecs/iteration.
+    ba_solve therefore defaults to the segment-sum path; this layout stays
+    as a tested alternative and is the building block for the explicit-S
+    variant on small camera systems.
+
+    pt_gather: (P, Kp) int32 — observation index per (point, slot); dead
+               slots point at the zero pad row O.
+    pt_cam:    (P, Kp) int32 — cam_idx of that observation (0 for pads:
+               harmless, the padded W block is zero).
+    cam_gather:(C, Kc) int32 / cam_pt: (C, Kc) int32 — same, keyed by camera.
+    """
+
+    pt_gather: jnp.ndarray
+    pt_cam: jnp.ndarray
+    cam_gather: jnp.ndarray
+    cam_pt: jnp.ndarray
+
+
+def _group_one(idx: "np.ndarray", mask, n_segments: int, K=None):
+    import numpy as np
+
+    o = idx.shape[0]
+    live = np.where(mask)[0]
+    counts = np.bincount(idx[live], minlength=n_segments)
+    kmax = int(counts.max()) if live.size else 1
+    if K is None:
+        K = max(8, -8 * (-kmax // 8))  # round up to a multiple of 8
+    elif kmax > K:
+        raise ValueError(f"group width {K} < max segment count {kmax}")
+    table = np.full((n_segments, K), o, np.int32)  # pad row = o
+    order = np.argsort(idx[live], kind="stable")
+    sorted_obs = live[order]
+    sorted_idx = idx[live][order]
+    starts = np.searchsorted(sorted_idx, np.arange(n_segments))
+    rank = np.arange(sorted_idx.shape[0]) - starts[sorted_idx]
+    table[sorted_idx, rank] = sorted_obs
+    return table
+
+
+def group_observations(obs, n_cams: int, n_points: int,
+                       Kp: int | None = None, Kc: int | None = None) -> GroupedObs:
+    """Host-side (numpy) construction of the grouped layout — runs once per
+    problem (the observation table is static across LM/PCG iterations).
+    Requires concrete (non-traced) index arrays."""
+    import numpy as np
+
+    ci = np.asarray(obs.cam_idx)
+    pi = np.asarray(obs.pt_idx)
+    mask = np.asarray(obs.mask)
+    pt_gather = _group_one(pi, mask, n_points, Kp)
+    cam_gather = _group_one(ci, mask, n_cams, Kc)
+    ci_pad = np.concatenate([ci, np.zeros(1, np.int32)])
+    pi_pad = np.concatenate([pi, np.zeros(1, np.int32)])
+    return GroupedObs(
+        pt_gather=jnp.asarray(pt_gather),
+        pt_cam=jnp.asarray(ci_pad[pt_gather]),
+        cam_gather=jnp.asarray(cam_gather),
+        cam_pt=jnp.asarray(pi_pad[cam_gather]),
+    )
+
+
+class GroupedSystem(NamedTuple):
+    """Per-LM-iteration precompute for the scatter-free matvec: the coupling
+    blocks pre-gathered into both grouped layouts (reads sys.Wcp twice per
+    LM iteration instead of twice per PCG matvec)."""
+
+    Wg_pt: jnp.ndarray   # (P, Kp, 6, 3)
+    Wg_cam: jnp.ndarray  # (C, Kc, 6, 3)
+    Hcc_l: jnp.ndarray   # (C, 6, 6) damped
+    Hpp_inv: jnp.ndarray  # (P, 3, 3) damped inverse
+
+
+def grouped_system(sys: BlockSystem, grouped: GroupedObs, lam) -> GroupedSystem:
+    Wpad = jnp.concatenate([sys.Wcp, jnp.zeros((1, 6, 3), sys.Wcp.dtype)])
+    return GroupedSystem(
+        Wg_pt=Wpad[grouped.pt_gather],
+        Wg_cam=Wpad[grouped.cam_gather],
+        Hcc_l=_damped(sys.Hcc, lam),
+        Hpp_inv=damped_pp_inverse(sys, lam),
+    )
+
+
+def schur_matvec_grouped(gs: GroupedSystem, grouped: GroupedObs, x,
+                         cam_update_mask, axis_name=None):
+    """S @ x, scatter-free. With ``axis_name`` (observation-sharded BA), the
+    grouped tables are built per shard and the (P,3)/(C,6) partials psum."""
+    x = x * cam_update_mask[:, None]
+    xg = x[grouped.pt_cam]                                   # (P, Kp, 6)
+    yp = jnp.einsum("pkia,pki->pa", gs.Wg_pt, xg)            # (P, 3)
+    yp = _psum(yp, axis_name)
+    zp = jnp.einsum("pij,pj->pi", gs.Hpp_inv, yp)            # (P, 3)
+    zg = zp[grouped.cam_pt]                                  # (C, Kc, 3)
+    wc = jnp.einsum("ckia,cka->ci", gs.Wg_cam, zg)           # (C, 6)
+    wc = _psum(wc, axis_name)
+    Sx = jnp.einsum("cij,cj->ci", gs.Hcc_l, x) - wc
+    return Sx * cam_update_mask[:, None]
+
+
+def reduced_rhs_grouped(sys: BlockSystem, gs: GroupedSystem, grouped: GroupedObs,
+                        cam_update_mask, axis_name=None):
+    zp = jnp.einsum("pij,pj->pi", gs.Hpp_inv, sys.gp)
+    zg = zp[grouped.cam_pt]
+    wc = _psum(jnp.einsum("ckia,cka->ci", gs.Wg_cam, zg), axis_name)
+    return (sys.gc - wc) * cam_update_mask[:, None]
+
+
+def back_substitute_grouped(sys: BlockSystem, gs: GroupedSystem,
+                            grouped: GroupedObs, dx_c, axis_name=None):
+    xg = dx_c[grouped.pt_cam]
+    yp = _psum(jnp.einsum("pkia,pki->pa", gs.Wg_pt, xg), axis_name)
+    return jnp.einsum("pij,pj->pi", gs.Hpp_inv, sys.gp - yp)
+
+
+def pcg_solve_grouped(sys: BlockSystem, gs: GroupedSystem, grouped: GroupedObs,
+                      cam_update_mask, iters: int = 40, axis_name=None):
+    """PCG on the reduced camera system with the scatter-free matvec.
+    Numerically equivalent to pcg_solve up to summation order."""
+    rhs = reduced_rhs_grouped(sys, gs, grouped, cam_update_mask, axis_name)
+    Minv = jnp.linalg.inv(gs.Hcc_l)
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", Minv, r) * cam_update_mask[:, None]
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+
+    def body(_, state):
+        x, r, z, p, rz = state
+        Sp = schur_matvec_grouped(gs, grouped, p, cam_update_mask, axis_name)
+        pSp = jnp.sum(p * Sp)
+        alpha = rz / jnp.where(jnp.abs(pSp) < 1e-20, 1.0, pSp)
+        alpha = jnp.where(jnp.abs(pSp) < 1e-20, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1.0, rz)
+        beta = jnp.where(jnp.abs(rz) < 1e-20, 0.0, beta)
+        p = z + beta * p
+        return x, r, z, p, rz_new
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, p0, jnp.sum(r0 * z0)))
+    return x
+
+
+def assemble_grouped(poses, points, obs, grouped: GroupedObs, n_cams, n_points,
+                     huber_delta=None, axis_name=None):
+    """Scatter-free assembly: per-observation residuals/Jacobians are
+    gathered into the block-dense layouts and reduced with dense einsums —
+    no segment_sum anywhere (the 4 per-linearization scatters dominate LM
+    cost once the PCG loop is grouped). Results match ``assemble`` up to
+    summation order."""
+    res, Jc, Jp, w = residuals_and_jacobians(poses, points, obs, huber_delta)
+    wv = w[:, None, None]
+    Jcw = Jc * wv
+    Jpw = Jp * wv
+
+    def pad(x):
+        return jnp.concatenate([x, jnp.zeros_like(x[:1])])
+
+    # Point-grouped tiles: (P, Kp, 2, 3) / (P, Kp, 2)
+    Jp_g = pad(Jpw)[grouped.pt_gather]
+    Jp_raw = pad(Jp)[grouped.pt_gather]
+    res_p = pad(res)[grouped.pt_gather]
+    Hpp = _psum(jnp.einsum("pkai,pkaj->pij", Jp_g, Jp_raw), axis_name)
+    gp = -_psum(jnp.einsum("pkai,pka->pi", Jp_g, res_p), axis_name)
+
+    # Camera-grouped tiles: (C, Kc, 2, 6) / (C, Kc, 2)
+    Jc_g = pad(Jcw)[grouped.cam_gather]
+    Jc_raw = pad(Jc)[grouped.cam_gather]
+    res_c = pad(res)[grouped.cam_gather]
+    Hcc = _psum(jnp.einsum("ckai,ckaj->cij", Jc_g, Jc_raw), axis_name)
+    gc = -_psum(jnp.einsum("ckai,cka->ci", Jc_g, res_c), axis_name)
+
+    Wcp = jnp.einsum("oki,okj->oij", Jcw, Jp)  # (O, 6, 3), stays per-obs
+    cost = _psum(0.5 * jnp.sum(w * jnp.sum(res * res, -1)), axis_name)
+    return BlockSystem(Hcc, Hpp, Wcp, gc, gp, Jc, Jp, w), cost

@@ -172,3 +172,67 @@ class TestAlignment:
         assert abs(float(s) - s_gt) < 1e-4
         np.testing.assert_allclose(np.asarray(R), R_gt, atol=1e-5)
         np.testing.assert_allclose(np.asarray(t), t_gt, atol=1e-4)
+
+
+class TestGroupedSchur:
+    """Scatter-free block-dense path (T13) parity vs the segment-sum path."""
+
+    def test_grouped_matvec_matches_scatter(self, rng):
+        from fastmatch_tpu.ba.schur import (
+            group_observations, grouped_system, schur_matvec_grouped,
+            pcg_solve_grouped, reduced_rhs, damped_pp_inverse,
+            back_substitute, back_substitute_grouped,
+        )
+        _, problem = build_problem(rng, n_frames=6, n_points=64, cap_obs=512)
+        n_c, n_p = problem.n_cams, problem.n_points
+        sys, _ = assemble(problem.poses, problem.points, problem.obs, n_c, n_p)
+        lam = jnp.float32(1e-3)
+        upd = (problem.cam_mask & ~problem.fixed_cams).astype(jnp.float32)
+        grouped = group_observations(problem.obs, n_c, n_p)
+        gs = grouped_system(sys, grouped, lam)
+
+        x = jnp.asarray(rng.standard_normal((n_c, 6)).astype(np.float32))
+        Sx_scatter = schur_matvec(sys, problem.obs, lam, x, n_p, upd)
+        Sx_grouped = schur_matvec_grouped(gs, grouped, x, upd)
+        np.testing.assert_allclose(
+            np.asarray(Sx_scatter), np.asarray(Sx_grouped), rtol=2e-4, atol=1e-5
+        )
+
+        dx_scatter = pcg_solve(sys, problem.obs, lam, n_p, upd, iters=50)
+        dx_grouped = pcg_solve_grouped(sys, gs, grouped, upd, iters=50)
+        np.testing.assert_allclose(
+            np.asarray(dx_scatter), np.asarray(dx_grouped), rtol=1e-2, atol=1e-4
+        )
+        bp_s = back_substitute(sys, problem.obs, lam, dx_scatter, n_p)
+        bp_g = back_substitute_grouped(sys, gs, grouped, dx_grouped)
+        np.testing.assert_allclose(
+            np.asarray(bp_s), np.asarray(bp_g), rtol=1e-2, atol=1e-4
+        )
+
+    def test_grouped_ba_solve_converges_same(self, rng):
+        _, problem = build_problem(rng, n_frames=6, n_points=64,
+                                   noise_px=0.5, perturb=0.02, cap_obs=512)
+        res_scatter = ba_solve(problem, grouped=None, max_iters=8, pcg_iters=30)
+        res_grouped = ba_solve(problem, grouped="auto", max_iters=8, pcg_iters=30)
+        # Same starting cost, both converge to the same optimum.
+        assert np.isclose(float(res_scatter.cost0), float(res_grouped.cost0))
+        assert float(res_grouped.cost) < 0.5 * float(res_grouped.cost0)
+        np.testing.assert_allclose(
+            float(res_scatter.cost), float(res_grouped.cost), rtol=1e-3
+        )
+
+    def test_group_observations_layout(self, rng):
+        from fastmatch_tpu.ba.schur import group_observations
+        from fastmatch_tpu.ba.problem import Observations
+
+        ci = jnp.asarray(np.array([0, 1, 1, 2, 2, 2], np.int32))
+        pi = jnp.asarray(np.array([3, 3, 0, 1, 0, 3], np.int32))
+        obs = Observations(ci, pi, jnp.zeros((6, 2)), jnp.ones(6, bool))
+        g = group_observations(obs, n_cams=4, n_points=4)
+        pt = np.asarray(g.pt_gather)
+        # point 3 is observed by obs {0, 1, 5}
+        assert set(pt[3][pt[3] < 6].tolist()) == {0, 1, 5}
+        # pad slots point at the pad row (index O = 6)
+        assert (pt[2] == 6).all()
+        cam = np.asarray(g.cam_gather)
+        assert set(cam[2][cam[2] < 6].tolist()) == {3, 4, 5}
