@@ -107,24 +107,21 @@ def cmd_reconstruct(args):
         ]
         w, h = data["image_size"]
     else:
-        from fastmatch_tpu.utils.imageio import load_gray  # native decoder
-
-        paths = sorted(glob.glob(args.input + "/*"))
-        imgs = [load_gray(p) for p in paths]
-        h, w = imgs[0].shape
-        # Static-shape detector: resize any stragglers to the first frame.
-        imgs = [
-            im if im.shape == (h, w) else load_gray(p, size=(w, h))
-            for p, im in zip(paths, imgs)
-        ]
+        # Native threaded prefetch: decode of frame k+1..k+8 overlaps the
+        # device-side detection of frame k. All frames are delivered at the
+        # first frame's shape (static-shape detector).
+        from fastmatch_tpu.utils.imageio import FrameLoader, load_gray
         from fastmatch_tpu.features.sift import detect_and_describe
 
+        paths = sorted(glob.glob(args.input + "/*"))
+        h, w = load_gray(paths[0]).shape
         feats = []
-        for im in imgs:
-            kps, descs = detect_and_describe(jnp.asarray(im), cfg.sift)
-            feats.append(
-                (np.array(kps.xy), np.array(descs.data), np.array(descs.mask))
-            )
+        with FrameLoader(paths, size=(w, h)) as frames:
+            for _, im in frames:
+                kps, descs = detect_and_describe(jnp.asarray(im), cfg.sift)
+                feats.append(
+                    (np.array(kps.xy), np.array(descs.data), np.array(descs.mask))
+                )
     cam = Pinhole.from_K(
         np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
     )

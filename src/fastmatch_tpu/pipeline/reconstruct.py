@@ -224,6 +224,11 @@ def reconstruct(
     xy1, d1, m1 = features[1]
     valid, idx = _match(d1, m1, d0, m0, cfg)
     q = np.where(valid)[0]          # keypoints in frame 1
+    if len(q) < max(8, cfg.ransac.min_inliers):
+        raise RuntimeError(
+            f"two-view bootstrap failed: only {len(q)} matches between "
+            f"frames 0 and 1 (need >= {max(8, cfg.ransac.min_inliers)})"
+        )
     tr = idx[q]                      # matched keypoints in frame 0
     x1n = _normalize(xy1[q], camera)
     x0n = _normalize(xy0[tr], camera)
@@ -257,6 +262,11 @@ def reconstruct(
     rec.frame_stats.append(
         {"frame": 1, "n_kp": int(m1.sum()), "n_new_pts": len(ids)}
     )
+    # Refine the two-view seed immediately: every later PnP localizes
+    # against this map, and un-refined DLT triangulations carry enough
+    # error to starve PnP a few frames out (drift compounds).
+    if cfg.ba.interval:
+        rec.run_ba()
 
     # ---- frames >= 2 ----
     for f in range(2, len(features)):
@@ -285,6 +295,11 @@ def reconstruct(
         inl = np.asarray(pn.inliers)
         rec.add_observations(f, lm[inl], xfn[inl])
         kp_landmark[f][q[inl]] = lm[inl]
+        # Refresh the bank: a landmark's descriptor tracks its most recent
+        # PnP-inlier observation, so appearance drift over the trajectory
+        # doesn't starve future 2D-3D matching (stale first-sight
+        # descriptors collapse PnP beyond ~20 deg of viewpoint change).
+        rec.pt_desc[lm[inl]] = features[f][1][q[inl]]
 
         # New landmarks: match vs previous frame's landmark-free keypoints.
         xyp, dp, mp = features[f - 1]

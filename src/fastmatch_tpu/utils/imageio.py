@@ -75,3 +75,63 @@ def load_gray(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
             raise IOError("fm_resize_bilinear failed")
         return out
     return img
+
+
+class FrameLoader:
+    """Threaded prefetching frame loader over the native library (loader.cpp):
+    N worker threads decode+resize ahead of the consumer into a bounded
+    reorder buffer; iteration yields (index, (H, W) float32 [0,1]) strictly
+    in order. The pipeline's data stage overlaps host decode with device
+    compute (detect/match/BA) without any Python-thread involvement.
+
+    Usage:
+        with FrameLoader(paths, size=(640, 480)) as frames:
+            for idx, img in frames: ...
+    """
+
+    def __init__(self, paths: list[str], size: tuple[int, int],
+                 n_threads: int = 4, prefetch: int = 8):
+        lib = _load_lib()
+        lib.fm_loader_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fm_loader_open.restype = ctypes.c_void_p
+        lib.fm_loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.fm_loader_next.restype = ctypes.c_int
+        lib.fm_loader_close.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._paths = list(paths)
+        self._w, self._h = size
+        joined = "\n".join(self._paths).encode()
+        self._handle = lib.fm_loader_open(
+            joined, len(self._paths), self._w, self._h, n_threads, prefetch
+        )
+        if not self._handle:
+            raise IOError("fm_loader_open failed")
+
+    def __iter__(self):
+        while True:
+            buf = np.empty((self._h, self._w), np.float32)
+            rc = self._lib.fm_loader_next(
+                self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+            if rc == -1:
+                return
+            if rc == -2:
+                continue  # decode error: skip the frame, keep streaming
+            yield rc, buf
+
+    def close(self):
+        if self._handle:
+            self._lib.fm_loader_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()

@@ -117,3 +117,59 @@ def render_blob_image(rng, image_size=(256, 256), n_blobs: int = 40):
     img -= img.min()
     img /= img.max() + 1e-9
     return img
+
+
+def render_scene_views(scene: "SyntheticScene", rng, image_size=(640, 480),
+                       frames=None, n_satellites=4):
+    """Render the SyntheticScene's landmarks as Gaussian-blob constellations
+    from each camera: real 3D parallax in real images (the full-front-end
+    oracle — detect/describe/match/pose/BA can all run on these).
+
+    Identical isolated blobs would all share one descriptor and die in the
+    ratio test, so each landmark carries a random constellation of satellite
+    blobs at small fixed 3D offsets — projected per view, the local patch is
+    distinctive AND geometrically consistent across views.
+    """
+    w, h = image_size
+    P = scene.points.shape[0]
+    amps = rng.uniform(0.35, 0.9, P)
+    sigs = rng.uniform(1.6, 3.0, P)
+    sat_off = rng.uniform(-0.2, 0.2, (P, n_satellites, 3))
+    sat_amp = rng.uniform(0.2, 0.7, (P, n_satellites)) * np.sign(
+        rng.standard_normal((P, n_satellites))
+    )
+    fx, fy = scene.K[0, 0], scene.K[1, 1]
+    cx, cy = scene.K[0, 2], scene.K[1, 2]
+    out = []
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frame_ids = range(scene.R.shape[0]) if frames is None else frames
+
+    def splat(img, u, v, s, a):
+        r = int(3 * s) + 1
+        x0, x1 = max(int(u) - r, 0), min(int(u) + r + 1, w)
+        y0, y1 = max(int(v) - r, 0), min(int(v) + r + 1, h)
+        if x0 >= x1 or y0 >= y1:
+            return
+        d2 = (xx[y0:y1, x0:x1] - u) ** 2 + (yy[y0:y1, x0:x1] - v) ** 2
+        img[y0:y1, x0:x1] += a * np.exp(-d2 / (2 * s * s))
+
+    for f in frame_ids:
+        img = np.full((h, w), 0.35, np.float32)
+        cam = scene.points @ scene.R[f].T + scene.t[f]
+        depth = cam[:, 2]
+        for p in range(P):
+            if not scene.visible[f, p]:
+                continue
+            u, v = scene.pixels[f, p]
+            s = sigs[p] * 10.0 / max(depth[p], 0.5)
+            splat(img, u, v, s, amps[p])
+            sat_cam = (scene.points[p] + sat_off[p]) @ scene.R[f].T + scene.t[f]
+            for k in range(n_satellites):
+                z = sat_cam[k, 2]
+                if z < 0.1:
+                    continue
+                su = fx * sat_cam[k, 0] / z + cx
+                sv = fy * sat_cam[k, 1] / z + cy
+                splat(img, su, sv, 0.6 * s, sat_amp[p, k])
+        out.append(np.clip(img, 0, 1).astype(np.float32))
+    return out

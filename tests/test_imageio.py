@@ -66,3 +66,42 @@ class TestLoadGray:
     def test_missing_file(self):
         with pytest.raises(IOError):
             load_gray("/nonexistent/file.png")
+
+
+class TestFrameLoader:
+    """Native threaded prefetch loader (loader.cpp): in-order delivery,
+    content parity with the sequential decoder, error skipping."""
+
+    def _write_pgm(self, path, img):
+        h, w = img.shape
+        with open(path, "wb") as fh:
+            fh.write(f"P5\n{w} {h}\n255\n".encode())
+            fh.write((img * 255).astype(np.uint8).tobytes())
+
+    def test_inorder_and_parity(self, rng, tmp_path):
+        from fastmatch_tpu.utils.imageio import FrameLoader, load_gray
+
+        paths = []
+        for i in range(12):
+            img = rng.random((32 + 8 * (i % 3), 48)).astype(np.float32)
+            p = str(tmp_path / f"f{i:03d}.pgm")
+            self._write_pgm(p, img)
+            paths.append(p)
+        with FrameLoader(paths, size=(48, 32), n_threads=3, prefetch=4) as fl:
+            got = list(fl)
+        assert [i for i, _ in got] == list(range(12))
+        for i, img in got:
+            ref = load_gray(paths[i], size=(48, 32))
+            np.testing.assert_allclose(img, ref, atol=1e-6)
+
+    def test_decode_error_skipped(self, rng, tmp_path):
+        from fastmatch_tpu.utils.imageio import FrameLoader
+
+        good = str(tmp_path / "ok.pgm")
+        self._write_pgm(good, rng.random((16, 16)).astype(np.float32))
+        bad = str(tmp_path / "bad.pgm")
+        with open(bad, "wb") as fh:
+            fh.write(b"not an image")
+        with FrameLoader([good, bad, good], size=(16, 16)) as fl:
+            got = list(fl)
+        assert [i for i, _ in got] == [0, 2]
