@@ -239,7 +239,11 @@ def _orientation(gauss: jnp.ndarray, yx, lvl, sigma_rel, cfg: SIFTConfig):
         w = jnp.exp(-(ox**2 + oy**2) / (2.0 * w_sig * w_sig))
         binf = (ang + jnp.pi) / (2 * jnp.pi) * cfg.ori_bins
         b0 = jnp.clip(binf.astype(jnp.int32), 0, cfg.ori_bins - 1)
-        hist = jnp.zeros(cfg.ori_bins).at[b0.reshape(-1)].add((w * mag).reshape(-1))
+        # Histogram as a one-hot contraction instead of a scatter-add:
+        # vmapped scatters serialize on TPU, the (P^2, bins) matmul doesn't.
+        hist = (w * mag).reshape(-1) @ jax.nn.one_hot(
+            b0.reshape(-1), cfg.ori_bins, dtype=jnp.float32
+        )
         # Circular smoothing ([1,4,6,4,1]/16 twice, as cv2 does).
         for _ in range(2):
             hist = (
