@@ -54,13 +54,16 @@ def bench_cpu_cv2(raw, repeats=2):
     return 1.0 / dt
 
 
-def bench_tpu_pallas(da, db, repeats=20):
+def bench_tpu_pallas(da, db, repeats=20, precision="exact"):
     import jax
     from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
 
     @jax.jit
     def run(da, db):
-        return jax.vmap(lambda a, b: match_pair_pallas(a, b, interpret=False))(da, db)
+        return jax.vmap(
+            lambda a, b: match_pair_pallas(a, b, interpret=False,
+                                           precision=precision)
+        )(da, db)
 
     out = run(da, db)
     jax.block_until_ready(out)  # compile + settle queue
@@ -93,16 +96,36 @@ def main():
     import jax
 
     assert jax.default_backend() != "cpu", "bench must run on the TPU chip"
-    tpu_pairs_s = bench_tpu_pallas(da, db)
+
+    # Accuracy gate for the fast (bf16-feed) path: decision agreement with
+    # the exact jnp anchor on the first pair must clear the >=99% bar
+    # (BASELINE.json:5) for its throughput to count as the headline.
+    import jax.numpy as jnp
+    from fastmatch_tpu.core.containers import Descriptors
+    from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
+    from fastmatch_tpu.matching.matcher import match_pair_jnp
+    from fastmatch_tpu.utils.evaluation import match_agreement
+
+    one = lambda d, i: Descriptors(d.data[i], d.mask[i])
+    ref = match_pair_jnp(one(da, 0), one(db, 0))
+    fast = match_pair_pallas(one(da, 0), one(db, 0), precision="fast",
+                             interpret=False)
+    agreement = float(match_agreement(ref.idx, ref.valid, fast.idx, fast.valid))
+    assert agreement >= 0.99, f"fast-path agreement {agreement} < 0.99"
+
+    tpu_fast = bench_tpu_pallas(da, db, precision="fast")
+    tpu_exact = bench_tpu_pallas(da, db, precision="exact")
     cpu_pairs_s = bench_cpu_cv2(raw[:8])  # cv2 is slow; subsample pairs
 
     print(
         json.dumps(
             {
                 "metric": "match_pairs_per_s_per_chip",
-                "value": round(tpu_pairs_s, 2),
-                "unit": "image pairs/s (2k x 2k 128-d, ratio+cross-check)",
-                "vs_baseline": round(tpu_pairs_s / cpu_pairs_s, 2),
+                "value": round(tpu_fast, 2),
+                "unit": "image pairs/s (2k x 2k 128-d, ratio+cross-check, bf16-fast)",
+                "vs_baseline": round(tpu_fast / cpu_pairs_s, 2),
+                "exact_pairs_per_s": round(tpu_exact, 2),
+                "fast_agreement_vs_exact": round(agreement, 5),
             }
         )
     )

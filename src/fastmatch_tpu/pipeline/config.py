@@ -18,6 +18,7 @@ class MatchingConfig:
     ratio: float = 0.8
     cross_check: bool = True
     backend: str = "auto"  # jnp | pallas | auto
+    precision: str = "exact"  # exact | fast (bf16 MXU feed, >=99% agreement)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -153,6 +153,7 @@ def _match(desc_a, mask_a, desc_b, mask_b, cfg) -> tuple[np.ndarray, np.ndarray]
         ratio=cfg.matching.ratio,
         cross_check=cfg.matching.cross_check,
         backend=cfg.matching.backend,
+        precision=cfg.matching.precision,
     )
     valid = np.asarray(m.valid)
     idx = np.asarray(m.idx)

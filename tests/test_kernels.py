@@ -95,3 +95,37 @@ class TestDistanceTopkParity:
         np.testing.assert_array_equal(np.asarray(nnb), d2_full.argmin(0))
         part = np.partition(d2_full, 1, axis=1)[:, 1]
         np.testing.assert_allclose(np.asarray(d2nd), part, atol=1e-5)
+
+
+class TestFastPrecision:
+    """precision="fast" (bf16 MXU feed): >=99% decision agreement with the
+    exact path on a near-tie-heavy workload (noisy copies + distractors)."""
+
+    def test_agreement_gate(self, rng):
+        from fastmatch_tpu.core.containers import Descriptors
+        from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
+        from fastmatch_tpu.matching.matcher import match_pair_jnp
+        from fastmatch_tpu.utils.evaluation import match_agreement
+
+        n = 1024
+        base = np.abs(rng.standard_normal((n, 128))).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        q = base[: n // 2] + 0.15 * np.abs(
+            rng.standard_normal((n // 2, 128))
+        ).astype(np.float32)
+        q = np.vstack([q, np.abs(rng.standard_normal((n // 2, 128))).astype(np.float32)])
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        da = Descriptors(jnp.asarray(q), jnp.ones(n, bool))
+        db = Descriptors(jnp.asarray(base), jnp.ones(n, bool))
+        ref = match_pair_jnp(da, db)
+        fast = match_pair_pallas(da, db, precision="fast", interpret=True)
+        agree = float(match_agreement(ref.idx, ref.valid, fast.idx, fast.valid))
+        assert agree >= 0.99, agree
+
+    def test_bad_precision_rejected(self, rng):
+        from fastmatch_tpu.core.containers import Descriptors
+        from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
+
+        d = Descriptors(jnp.zeros((8, 128)), jnp.ones(8, bool))
+        with pytest.raises(ValueError, match="precision"):
+            match_pair_pallas(d, d, precision="bf16")
