@@ -22,6 +22,16 @@ in-repo capability spec BASELINE.json instead of reference file:line.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to bf16, which is wrong for geometry: SE3 chains,
+# triangulation, and BA Jacobian products silently lose ~3 decimal digits
+# per op and SLAM tracking diverges within a handful of frames (observed on
+# v5e; the same run is fine on CPU). This library is an estimation stack —
+# full f32 is the correctness default. Hot paths that can afford bf16 opt
+# in EXPLICITLY by casting (e.g. the matcher's precision="fast" mode).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from fastmatch_tpu.core.containers import Descriptors, Keypoints, Matches
 from fastmatch_tpu.matching.matcher import match_pair, match_batch
 

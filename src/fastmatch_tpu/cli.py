@@ -91,14 +91,13 @@ def cmd_match(args):
     print(json.dumps({"n_matches": int(valid.sum()), "out": args.out}))
 
 
-def cmd_reconstruct(args):
+def _load_features(args, cfg):
+    """Feature sequence from a .npz dump or an image directory (native
+    threaded prefetch + on-device SIFT). Returns (feats, camera)."""
     import glob
     import jax.numpy as jnp
     from fastmatch_tpu.core.camera import Pinhole
-    from fastmatch_tpu.pipeline.reconstruct import reconstruct
 
-    cfg = _load_config(args)
-    fx = args.focal
     if args.input.endswith(".npz"):
         data = np.load(args.input)
         n = int(data["n_frames"])
@@ -122,9 +121,18 @@ def cmd_reconstruct(args):
                 feats.append(
                     (np.array(kps.xy), np.array(descs.data), np.array(descs.mask))
                 )
+    fx = args.focal
     cam = Pinhole.from_K(
         np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
     )
+    return feats, cam
+
+
+def cmd_reconstruct(args):
+    from fastmatch_tpu.pipeline.reconstruct import reconstruct
+
+    cfg = _load_config(args)
+    feats, cam = _load_features(args, cfg)
     rec = reconstruct(feats, cam, cfg)
     centers = rec.camera_centers()
     if args.out:
@@ -146,6 +154,71 @@ def cmd_reconstruct(args):
             }
         )
     )
+
+
+def cmd_slam(args):
+    from fastmatch_tpu.pipeline.slam import SlamConfig, slam
+
+    cfg = _load_config(args)
+    scfg = SlamConfig(
+        window=args.window,
+        loop_gap=args.loop_gap,
+        loop_min_votes=args.loop_min_votes,
+    )
+    feats, cam = _load_features(args, cfg)
+    out = slam(feats, cam, cfg, scfg)
+    rec = out.rec
+    if args.out:
+        np.savez(
+            args.out, centers=rec.camera_centers(), R=rec.R[: rec.n_frames],
+            t=rec.t[: rec.n_frames], points=rec.points[rec.pt_mask],
+        )
+    if args.trajectory:
+        _write_tum(args.trajectory, rec)
+    if args.checkpoint:
+        from fastmatch_tpu.pipeline.checkpoint import save_map
+
+        save_map(rec, args.checkpoint)
+    print(
+        json.dumps(
+            {
+                "n_frames": rec.n_frames,
+                "n_points": int(rec.pt_mask.sum()),
+                "loop_closures": len(out.loop_edges),
+                "pgo_runs": out.pgo_runs,
+                "out": args.out,
+            }
+        )
+    )
+
+
+def _write_tum(path, rec):
+    """Dump the trajectory in TUM format (ts tx ty tz qx qy qz qw) —
+    consumable by datasets.load_tum_trajectory and standard ATE tooling."""
+    def quat_xyzw(R):
+        t = np.trace(R)
+        if t > 0:
+            s = np.sqrt(t + 1.0) * 2
+            return np.array([(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                             (R[1, 0] - R[0, 1]) / s, 0.25 * s])
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + R[i, i] - R[j, j] - R[k, k], 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        q[3] = (R[k, j] - R[j, k]) / s
+        return q
+
+    with open(path, "w") as fh:
+        fh.write("# ts tx ty tz qx qy qz qw\n")
+        for f in range(rec.n_frames):
+            Rwc = rec.R[f].T  # camera-to-world
+            c = -Rwc @ rec.t[f]
+            q = quat_xyzw(Rwc)
+            fh.write(f"{float(f):.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                     f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
 
 
 def cmd_evaluate(args):
@@ -201,6 +274,17 @@ def main(argv=None):
     sp.add_argument("--out")
     sp.add_argument("--checkpoint")
     sp.set_defaults(fn=cmd_reconstruct)
+
+    sp = sub.add_parser("slam")
+    sp.add_argument("input", help="image dir or features .npz")
+    sp.add_argument("--focal", type=float, default=500.0)
+    sp.add_argument("--window", type=int, default=8)
+    sp.add_argument("--loop-gap", type=int, default=12)
+    sp.add_argument("--loop-min-votes", type=int, default=25)
+    sp.add_argument("--out")
+    sp.add_argument("--trajectory", help="write TUM-format trajectory here")
+    sp.add_argument("--checkpoint")
+    sp.set_defaults(fn=cmd_slam)
 
     sp = sub.add_parser("evaluate")
     sp.add_argument(

@@ -75,10 +75,14 @@ def _distance_topk_kernel(
         # decomposition: 1.8x end-to-end (7.7k -> 13.8k pairs/s at 64x2048),
         # >=99.8% decision agreement with the exact path (tested) — meets
         # the >=99% agreement gate, opt-in via precision="fast".
+        # precision=DEFAULT explicitly: the package-level
+        # jax_default_matmul_precision="highest" would otherwise apply to
+        # this bf16 dot and crash the Mosaic compiler (and defeat the point).
         cross = jnp.dot(
             a_ref[:].astype(jnp.bfloat16),
             b_ref[:].astype(jnp.bfloat16).T,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
     else:
         cross = jnp.dot(
@@ -268,7 +272,13 @@ def _chunked_topk(a, b, b2m, a2m, tile_n, interpret, fast=False):
     n, m = a.shape[0], b.shape[0]
     chunk = MAX_RESIDENT_M
     if m % chunk:
-        raise ValueError(f"bank size {m} must be a multiple of {chunk}")
+        # Pad the bank to a chunk multiple with dead entries: zero rows with
+        # +BIG masked norms can never win a reduction, and callers index nnb
+        # only at live columns.
+        pad = chunk - m % chunk
+        b = jnp.concatenate([b, jnp.zeros((pad, DESC_DIM), b.dtype)])
+        b2m = jnp.concatenate([b2m, jnp.full((pad,), BIG, b2m.dtype)])
+        m = m + pad
     n_chunks = m // chunk
     bc = b.reshape(n_chunks, chunk, DESC_DIM)
     b2c = b2m.reshape(n_chunks, chunk)
