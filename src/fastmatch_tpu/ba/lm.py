@@ -173,4 +173,12 @@ def ba_solve(problem: BAProblem, grouped: GroupedObs | None | str = None,
             grouped = group_observations(
                 problem.obs, problem.n_cams, problem.n_points
             )
-    return _ba_solve_jit(problem, grouped=grouped, **kwargs)
+    fn = partial(_ba_solve_jit, grouped=grouped, **kwargs)
+    if not isinstance(jnp.asarray(problem.obs.cam_idx), jax.core.Tracer):
+        from fastmatch_tpu.utils.guards import maybe_checked
+
+        # FASTMATCH_CHECKIFY=1 sweeps BA's observation-table gathers and
+        # scatters with index/float checks (SURVEY.md §6.2); free when
+        # unset. Skipped under tracing: check_error raises on host.
+        fn = maybe_checked(fn)
+    return fn(problem)

@@ -133,7 +133,14 @@ def cmd_reconstruct(args):
 
     cfg = _load_config(args)
     feats, cam = _load_features(args, cfg)
-    rec = reconstruct(feats, cam, cfg)
+    metrics = None
+    if args.metrics:
+        from fastmatch_tpu.utils.metrics import MetricsLogger
+
+        metrics = MetricsLogger(path=args.metrics)
+    rec = reconstruct(feats, cam, cfg, metrics=metrics)
+    if metrics:
+        metrics.close()
     centers = rec.camera_centers()
     if args.out:
         np.savez(
@@ -273,6 +280,7 @@ def main(argv=None):
     sp.add_argument("--focal", type=float, default=500.0)
     sp.add_argument("--out")
     sp.add_argument("--checkpoint")
+    sp.add_argument("--metrics", help="write JSONL metrics here")
     sp.set_defaults(fn=cmd_reconstruct)
 
     sp = sub.add_parser("slam")

@@ -131,7 +131,15 @@ def match_pair(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
     if backend == "jnp":
-        return match_pair_jnp(desc_a, desc_b, ratio=ratio, cross_check=cross_check)
+        fn = partial(match_pair_jnp, ratio=ratio, cross_check=cross_check)
+        if not isinstance(desc_a.data, jax.core.Tracer):
+            from fastmatch_tpu.utils.guards import maybe_checked
+
+            # FASTMATCH_CHECKIFY=1 sweeps the gather-heavy matcher with
+            # index/float checks (SURVEY.md §6.2); free when unset. Skipped
+            # under tracing (vmap/jit callers): check_error raises on host.
+            fn = maybe_checked(fn)
+        return fn(desc_a, desc_b)
     if backend == "pallas":
         from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
 

@@ -191,6 +191,7 @@ def reconstruct(
     cfg: PipelineConfig = PipelineConfig(),
     images=None,
     seed: int = 0,
+    metrics=None,
 ) -> Reconstruction:
     """Run incremental SfM over a sequence.
 
@@ -198,6 +199,8 @@ def reconstruct(
     per frame — precomputed (e.g. from features.detect_and_describe, or a
     synthetic source in tests). If ``images`` is given instead, detection
     runs here via detect_and_describe.
+    metrics: optional utils.metrics.MetricsLogger — per-frame counters and
+    BA costs stream to JSONL/tensorboard (SURVEY.md §6.5).
     """
     if features is None:
         from fastmatch_tpu.features.sift import detect_and_describe
@@ -330,16 +333,21 @@ def reconstruct(
                 rec.add_observations(f, ids, xcn[keep])
                 kp_landmark[f][q2[keep]] = ids
                 kp_landmark[f - 1][t2[keep]] = ids
-        rec.frame_stats.append(
-            {
-                "frame": f,
-                "n_kp": int(mf.sum()),
-                "n_pnp_inliers": int(inl.sum()),
-                "n_new_pts": int(keep.sum()) if len(q2) else 0,
-            }
-        )
+        stats = {
+            "frame": f,
+            "n_kp": int(mf.sum()),
+            "n_pnp_inliers": int(inl.sum()),
+            "n_new_pts": int(keep.sum()) if len(q2) else 0,
+        }
+        rec.frame_stats.append(stats)
+        if metrics:
+            metrics.log("frame", **stats, n_points=int(rec.pt_mask.sum()))
         if cfg.ba.interval and (f % cfg.ba.interval == 0):
-            rec.run_ba()
+            c0, c1 = rec.run_ba()
+            if metrics:
+                metrics.log("ba", frame=f, cost0=c0, cost=c1)
 
-    rec.run_ba()
+    c0, c1 = rec.run_ba()
+    if metrics:
+        metrics.log("ba", frame=len(features) - 1, cost0=c0, cost=c1, final=True)
     return rec

@@ -108,3 +108,32 @@ class TestCLI:
             "match", str(tmp_path / "a.npy"), str(tmp_path / "b.npy"),
         )
         assert r.returncode == 0, r.stderr
+
+
+class TestMetricsFlag:
+    def test_reconstruct_writes_jsonl(self, rng, tmp_path):
+        """--metrics streams per-frame and BA events as JSONL (T24)."""
+        import json as _json
+        from synth import SyntheticScene
+        from test_pipeline import synthetic_features
+
+        scene = SyntheticScene(rng, n_points=150, n_frames=5)
+        feats = synthetic_features(rng, scene)
+        npz = {"n_frames": 5, "image_size": np.array([640, 480])}
+        for i, (xy, d, m) in enumerate(feats):
+            npz[f"xy_{i}"] = xy
+            npz[f"desc_{i}"] = d
+            npz[f"mask_{i}"] = m
+        inp = tmp_path / "f.npz"
+        np.savez(inp, **npz)
+        from fastmatch_tpu.cli import main
+
+        mpath = tmp_path / "metrics.jsonl"
+        main(["--set", "ba.interval=3", "reconstruct", str(inp),
+              "--focal", "500.0", "--metrics", str(mpath)])
+        events = [_json.loads(l) for l in open(mpath)]
+        kinds = {e["event"] for e in events}
+        assert "frame" in kinds and "ba" in kinds
+        frames = [e for e in events if e["event"] == "frame"]
+        assert len(frames) == 3  # frames 2..4
+        assert all("n_pnp_inliers" in e for e in frames)
