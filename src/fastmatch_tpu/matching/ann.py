@@ -109,3 +109,138 @@ def match_pair_ann(
         desc_a, Descriptors(index.desc.data, cand_mask),
         ratio=ratio, cross_check=cross_check,
     )
+
+
+class IVFIndexSorted(NamedTuple):
+    """Cluster-sorted IVF index for real FLOP savings on big banks.
+
+    The bank is reordered so each cluster's rows are contiguous; probing
+    then selects whole clusters and ONE budget-sized gather builds a compact
+    candidate bank for the exact fused kernel — compute drops by
+    budget/bank_size instead of just masking (IVFIndex.match_pair_ann keeps
+    exact-kernel-over-masked-bank semantics; this variant is the
+    city-scale loop-retrieval path, SURVEY.md §3.2 T7 / config 5).
+    """
+
+    centroids: jnp.ndarray  # (K, 128)
+    desc: Descriptors       # bank rows sorted by cluster
+    perm: jnp.ndarray       # (M,) original bank index of each sorted row
+    starts: jnp.ndarray     # (K + 1,) cluster row ranges in the sorted bank
+    assign: jnp.ndarray     # (M,) cluster of each *sorted* row
+
+
+def build_index_sorted(key, desc: Descriptors, n_clusters: int = 64,
+                       iters: int = 10) -> IVFIndexSorted:
+    """K-means + host-side cluster sort (one-time, index build)."""
+    import numpy as np
+
+    cent, assign = kmeans(key, desc.data.astype(jnp.float32), desc.mask,
+                          n_clusters, iters)
+    assign_np = np.asarray(assign)
+    mask_np = np.asarray(desc.mask)
+    # Dead rows sort to a virtual cluster K (they stay unmatched: zero desc
+    # rows keep mask False after the sort).
+    keys = np.where(mask_np, assign_np, n_clusters)
+    perm = np.argsort(keys, kind="stable")
+    sorted_keys = keys[perm]
+    starts = np.searchsorted(sorted_keys, np.arange(n_clusters + 1))
+    return IVFIndexSorted(
+        centroids=cent,
+        desc=Descriptors(desc.data[perm], desc.mask[perm]),
+        perm=jnp.asarray(perm.astype(np.int32)),
+        starts=jnp.asarray(starts.astype(np.int32)),
+        assign=jnp.asarray(sorted_keys.astype(np.int32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("budget", "n_probe", "cross_check", "backend"))
+def match_pair_ann_big(
+    desc_a: Descriptors,
+    index: IVFIndexSorted,
+    budget: int = 4096,
+    n_probe: int = 8,
+    ratio: float = 0.8,
+    cross_check: bool = True,
+    backend: str = "auto",
+) -> Matches:
+    """IVF search with a compact candidate bank (static ``budget`` rows).
+
+    1. Queries score all centroids (one small matmul); each query probes its
+       ``n_probe`` nearest clusters.
+    2. Clusters are ranked by how many queries probe them; whole clusters are
+       admitted in rank order while they fit the row budget (static shapes:
+       admission is a mask-and-prefix-sum, no data-dependent control flow).
+    3. One gather builds the (budget, 128) candidate bank; the exact fused
+       matcher runs on it; indices map back through the sort permutation.
+
+    Approximation: queries probing non-admitted clusters lose those
+    candidates, and the cross-check argmin sees only admitted rows —
+    standard IVF semantics. Recall equals the fraction of queries whose
+    nearest cluster is admitted, so the shortlist pays off exactly when the
+    query set is visually coherent relative to the codebook (a loop-closure
+    query frame probing a city-scale bank: n_clusters >> clusters-per-frame).
+    For incoherent query sets use the exact matcher — on the MXU, dense
+    brute force is the fast path until the bank dwarfs the budget.
+    """
+    M = index.desc.capacity
+    K = index.centroids.shape[0]
+    a = desc_a.data.astype(jnp.float32)
+    dq = (
+        jnp.sum(a * a, 1, keepdims=True)
+        - 2.0 * a @ index.centroids.T
+        + jnp.sum(index.centroids * index.centroids, 1)[None, :]
+    )
+    dq = jnp.where(desc_a.mask[:, None], dq, BIG)
+    _, probe = jax.lax.top_k(-dq, n_probe)  # (N, P)
+    # Rank-weighted votes: a query's top-1 probe counts much more than its
+    # n_probe-th — closer to "probability the true NN lives here".
+    rank_w = (1.0 / (1.0 + jnp.arange(n_probe, dtype=jnp.float32)))
+    w = (desc_a.mask.astype(jnp.float32)[:, None] * rank_w[None, :]).reshape(-1)
+    onehot = jax.nn.one_hot(probe.reshape(-1), K, dtype=jnp.float32)
+    votes = jnp.sum(onehot * w[:, None], axis=0)  # (K,)
+
+    sizes = index.starts[1:] - index.starts[:-1]  # (K,)
+    order = jnp.argsort(-votes)  # clusters by (weighted) popularity
+    sz_ord = sizes[order]
+    v_ord = votes[order]
+
+    # Admission in vote order with one vectorized repair pass: the plain
+    # prefix rule stops at the first cluster that overflows the budget; the
+    # repair pass re-admits later clusters that still fit the remainder.
+    # (A per-cluster greedy scan is exact but serializes K VPU steps —
+    # measured slower than the whole exact search at K=1024.)
+    cum = jnp.cumsum(sz_ord)
+    take1 = (v_ord > 0) & (cum <= budget)
+    left = budget - jnp.sum(jnp.where(take1, sz_ord, 0))
+    cum2 = jnp.cumsum(jnp.where(take1, 0, sz_ord))
+    take2 = ~take1 & (v_ord > 0) & (cum2 <= left)
+    admit_ord = take1 | take2
+    adm_sz = jnp.where(admit_ord, sz_ord, 0)
+    off_ord = (jnp.cumsum(adm_sz) - adm_sz).astype(jnp.int32)
+    end_ord = off_ord + adm_sz.astype(jnp.int32)
+    n_admitted = end_ord[-1]
+
+    # Compact-bank slot -> sorted-bank row, built from the ADMITTED side:
+    # O(budget + K) work per query (an M-length pass or an M-row scatter
+    # here would dominate the whole search at city-scale banks).
+    slots = jnp.arange(budget, dtype=jnp.int32)
+    k_of_slot = jnp.searchsorted(end_ord, slots, side="right")  # first end>s
+    k_of_slot = jnp.clip(k_of_slot, 0, K - 1)
+    cl_of_slot = order[k_of_slot]
+    tbl = index.starts[cl_of_slot] + (slots - off_ord[k_of_slot])
+    valid_row = slots < n_admitted
+    tbl = jnp.where(valid_row, tbl, 0)
+    compact = Descriptors(
+        jnp.where(valid_row[:, None], index.desc.data[tbl], 0.0),
+        valid_row & index.desc.mask[tbl],
+    )
+    from fastmatch_tpu.matching.matcher import match_pair
+
+    m = match_pair(desc_a, compact, ratio=ratio, cross_check=cross_check,
+                   backend=backend)
+    orig = index.perm[tbl]
+    return Matches(
+        idx=jnp.where(m.valid, orig[jnp.clip(m.idx, 0, budget - 1)], m.idx),
+        dist=m.dist,
+        valid=m.valid,
+    )
