@@ -110,7 +110,8 @@ def main():
     ref = match_pair_jnp(one(da, 0), one(db, 0))
     fast = match_pair_pallas(one(da, 0), one(db, 0), precision="fast",
                              interpret=False)
-    agreement = float(match_agreement(ref.idx, ref.valid, fast.idx, fast.valid))
+    agreement = float(match_agreement(ref.idx, ref.valid, fast.idx, fast.valid,
+                                      mask=da.mask[0]))
     assert agreement >= 0.99, f"fast-path agreement {agreement} < 0.99"
 
     tpu_fast = bench_tpu_pallas(da, db, precision="fast")

@@ -108,19 +108,31 @@ def _load_features(args, cfg):
     else:
         # Native threaded prefetch: decode of frame k+1..k+8 overlaps the
         # device-side detection of frame k. All frames are delivered at the
-        # first frame's shape (static-shape detector).
+        # first frame's shape (static-shape detector). Frame 0 is decoded
+        # host-side once (it defines the shape) and NOT re-decoded by the
+        # loader; a frame the loader skips (decode error) is a hard error —
+        # silently dropping it would shift every later pose/timestamp.
         from fastmatch_tpu.utils.imageio import FrameLoader, load_gray
         from fastmatch_tpu.features.sift import detect_and_describe
 
         paths = sorted(glob.glob(args.input + "/*"))
-        h, w = load_gray(paths[0]).shape
-        feats = []
-        with FrameLoader(paths, size=(w, h)) as frames:
-            for _, im in frames:
-                kps, descs = detect_and_describe(jnp.asarray(im), cfg.sift)
-                feats.append(
-                    (np.array(kps.xy), np.array(descs.data), np.array(descs.mask))
-                )
+
+        def detect(im):
+            kps, descs = detect_and_describe(jnp.asarray(im), cfg.sift)
+            return (np.array(kps.xy), np.array(descs.data), np.array(descs.mask))
+
+        first = load_gray(paths[0])
+        h, w = first.shape
+        feats = [detect(first)]
+        expected = 1
+        with FrameLoader(paths[1:], size=(w, h)) as frames:
+            for idx, im in frames:
+                if idx + 1 != expected:
+                    raise IOError(f"failed to decode {paths[expected]}")
+                feats.append(detect(im))
+                expected += 1
+        if expected != len(paths):
+            raise IOError(f"failed to decode {paths[expected]}")
     fx = args.focal
     cam = Pinhole.from_K(
         np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)

@@ -43,8 +43,19 @@ class ImagePair:
 
 
 def _gray(img: str | np.ndarray, size=None) -> np.ndarray:
+    """Decode/convert to (H, W) float32 grayscale, resized to ``size``
+    ((w, h)) when given — ndarray inputs resize through warp_image with a
+    pure-scaling homography so both sources behave identically."""
     if isinstance(img, np.ndarray):
-        return img.astype(np.float32)
+        img = img.astype(np.float32)
+        if size is not None and (img.shape[1], img.shape[0]) != size:
+            w, h = size
+            sx, sy = img.shape[1] / w, img.shape[0] / h
+            S = np.array([[1 / sx, 0, 0], [0, 1 / sy, 0], [0, 0, 1]], np.float32)
+            big = np.zeros((max(h, img.shape[0]), max(w, img.shape[1])), np.float32)
+            big[: img.shape[0], : img.shape[1]] = img
+            return warp_image(big, S)[:h, :w]
+        return img
     from fastmatch_tpu.utils.imageio import load_gray
 
     return load_gray(img, size=size)
@@ -189,14 +200,24 @@ def evaluate_pairs(pairs, sift_cfg=None, ratio: float = 0.8, tol: float = 3.0,
     cfg = sift_cfg or SIFTConfig()
     results = []
     for pair in pairs:
-        ia = _gray(pair.image_a, size)
-        ib = _gray(pair.image_b, size)
+        ia0 = _gray(pair.image_a)
+        ib0 = _gray(pair.image_b)
+        ia = _gray(ia0, size)
+        ib = _gray(ib0, size)
+        H_ab = np.asarray(pair.H_ab, np.float64)
+        if size is not None:
+            # H maps ORIGINAL-resolution pixels; conjugate by the resize
+            # scalings: H' = S_b @ H @ S_a^-1.
+            w, h = size
+            Sa = np.diag([w / ia0.shape[1], h / ia0.shape[0], 1.0])
+            Sb = np.diag([w / ib0.shape[1], h / ib0.shape[0], 1.0])
+            H_ab = Sb @ H_ab @ np.linalg.inv(Sa)
         kpa, da = detect_and_describe(jnp.asarray(ia), cfg)
         kpb, db = detect_and_describe(jnp.asarray(ib), cfg)
         m = match_pair(da, db, ratio=ratio, backend=backend)
         ev = match_precision_recall(
             kpa.xy, kpa.mask, kpb.xy, kpb.mask, m.idx, m.valid,
-            jnp.asarray(pair.H_ab), tol=tol,
+            jnp.asarray(H_ab.astype(np.float32)), tol=tol,
         )
         results.append(
             {

@@ -300,10 +300,13 @@ def _descriptors(gauss, xy, lvl, angle, sigma_rel, cfg: SIFTConfig):
     wgauss = jnp.exp(-(uu**2 + vv**2) / (2 * (0.5 * cfg.desc_width) ** 2))
     w_spatial = jnp.asarray(_descriptor_weights(cfg))  # (16, 4)
 
-    # Patch size covering the worst-case support: sigma_rel < sigma0 *
-    # 2^((s - 0.5)/s) within an octave, samples reach hw * (d/2) * sqrt(2)
-    # from the center (+0.5 gradient offset, +1 bilinear, + rounding).
-    smax = cfg.sigma0 * 2.0 ** ((cfg.scales_per_octave - 0.5) / cfg.scales_per_octave)
+    # Patch size covering the worst-case support: detection returns
+    # lvl in [1, s] with scale offset |off_s| < 1.5 (sift._detect_octave),
+    # so sigma_rel <= sigma0 * 2^((s + 1.5)/s); samples reach
+    # hw * (d/2) * sqrt(2) from the center (+0.5 gradient offset,
+    # +1 bilinear, + rounding). An undersized patch silently clamps the
+    # outer descriptor cells of the largest-scale keypoints to the border.
+    smax = cfg.sigma0 * 2.0 ** ((cfg.scales_per_octave + 1.5) / cfg.scales_per_octave)
     support = 3.0 * smax * (cfg.desc_width / 2.0) * math.sqrt(2.0) + 2.0
     P = int(math.ceil(2.0 * support)) + 4
     P = min(P + (-P) % 8, Hp, Wp)  # lane-friendly; tiny octaves cap at image

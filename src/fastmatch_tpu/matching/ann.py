@@ -184,6 +184,8 @@ def match_pair_ann_big(
     """
     M = index.desc.capacity
     K = index.centroids.shape[0]
+    if budget > M:
+        raise ValueError(f"budget {budget} exceeds bank capacity {M}")
     a = desc_a.data.astype(jnp.float32)
     dq = (
         jnp.sum(a * a, 1, keepdims=True)
@@ -204,17 +206,18 @@ def match_pair_ann_big(
     sz_ord = sizes[order]
     v_ord = votes[order]
 
-    # Admission in vote order with one vectorized repair pass: the plain
-    # prefix rule stops at the first cluster that overflows the budget; the
-    # repair pass re-admits later clusters that still fit the remainder.
-    # (A per-cluster greedy scan is exact but serializes K VPU steps —
-    # measured slower than the whole exact search at K=1024.)
-    cum = jnp.cumsum(sz_ord)
-    take1 = (v_ord > 0) & (cum <= budget)
-    left = budget - jnp.sum(jnp.where(take1, sz_ord, 0))
-    cum2 = jnp.cumsum(jnp.where(take1, 0, sz_ord))
-    take2 = ~take1 & (v_ord > 0) & (cum2 <= left)
-    admit_ord = take1 | take2
+    # Admission in vote order, vectorized: prefix-admit, then two repair
+    # passes over the leftovers — each pass first drops clusters larger
+    # than the remaining budget (so one oversized cluster can't inflate the
+    # cumsum and block everything ranked after it), then prefix-admits the
+    # rest. (A per-cluster greedy scan is exact but serializes K VPU steps
+    # — measured slower than the whole exact search at K=1024.)
+    admit_ord = jnp.zeros_like(v_ord, dtype=bool)
+    for _ in range(3):
+        left = budget - jnp.sum(jnp.where(admit_ord, sz_ord, 0))
+        elig = ~admit_ord & (v_ord > 0) & (sz_ord <= left)
+        cum = jnp.cumsum(jnp.where(elig, sz_ord, 0))
+        admit_ord = admit_ord | (elig & (cum <= left))
     adm_sz = jnp.where(admit_ord, sz_ord, 0)
     off_ord = (jnp.cumsum(adm_sz) - adm_sz).astype(jnp.int32)
     end_ord = off_ord + adm_sz.astype(jnp.int32)

@@ -132,12 +132,21 @@ def match_agreement(
     valid_a: jnp.ndarray,
     idx_b: jnp.ndarray,
     valid_b: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Fraction of slots where two matchers made the same decision — the
-    >=99% agreement gate (BASELINE.json:5) between backends/shardings:
-    both invalid counts as agreement; both valid requires equal indices."""
+    """Fraction of query slots where two matchers made the same decision —
+    the >=99% agreement gate (BASELINE.json:5) between backends/shardings:
+    both invalid counts as agreement; both valid requires equal indices.
+
+    Pass the query container's ``mask`` on padded inputs: dead slots are
+    invalid in BOTH matchers and would otherwise count as agreement,
+    inflating the gate (e.g. 300 live keypoints in a 2048-capacity
+    container contribute only 15% of the unmasked average)."""
     both_valid = valid_a & valid_b
     agree = jnp.where(
         both_valid, idx_a == idx_b, jnp.logical_not(valid_a ^ valid_b)
-    )
-    return jnp.mean(agree.astype(jnp.float32))
+    ).astype(jnp.float32)
+    if mask is None:
+        return jnp.mean(agree)
+    w = mask.astype(jnp.float32)
+    return jnp.sum(agree * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -91,6 +91,7 @@ class FrameLoader:
 
     def __init__(self, paths: list[str], size: tuple[int, int],
                  n_threads: int = 4, prefetch: int = 8):
+        self._handle = None  # set first: __del__ runs even if init fails
         lib = _load_lib()
         lib.fm_loader_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -45,3 +45,21 @@ def test_cli_reconstruct_image_dir(tmp_path, capsys):
     gt_centers = np.einsum("fji,fj->fi", scene.R, -scene.t)
     ate = float(ate_rmse(jnp.asarray(est_centers), jnp.asarray(gt_centers)))
     assert ate < 0.35, ate
+
+
+@pytest.mark.slow
+def test_cli_reconstruct_decode_error_is_loud(tmp_path):
+    """A frame the native loader can't decode must abort the run (silently
+    skipping would shift every later pose against the file list)."""
+    rng = np.random.default_rng(4)
+    scene = SyntheticScene(rng, n_points=60, n_frames=3, image_size=(480, 360))
+    views = render_scene_views(scene, rng, image_size=(480, 360))
+    for i, img in enumerate(views):
+        with open(tmp_path / f"frame{i:03d}.pgm", "wb") as fh:
+            fh.write(b"P5\n480 360\n255\n" + (img * 255).astype(np.uint8).tobytes())
+    (tmp_path / "frame001.pgm").write_bytes(b"truncated junk")
+
+    from fastmatch_tpu.cli import main
+
+    with pytest.raises(IOError, match="frame001"):
+        main(["--set", "sift.capacity=256", "reconstruct", str(tmp_path)])

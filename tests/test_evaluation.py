@@ -138,3 +138,33 @@ class TestCLI:
         agg = json.loads(out[-1])["aggregate"]
         assert agg["pairs"] == 1
         assert 0.0 <= agg["mean_precision"] <= 1.0
+
+
+class TestResizeHandling:
+    def test_resize_rescales_homography(self):
+        """--resize must conjugate H by the scaling (S_b H S_a^-1): metrics
+        at half resolution should roughly match full resolution, not
+        collapse to zero."""
+        pair = synthesize_warped_pair(seed=2, h=256, w=256)
+        from fastmatch_tpu.features.sift import SIFTConfig
+
+        cfg = SIFTConfig(capacity=512)
+        _, full = evaluate_pairs([pair], sift_cfg=cfg, backend="jnp")
+        _, half = evaluate_pairs([pair], sift_cfg=cfg, backend="jnp",
+                                 size=(128, 128))
+        assert half["n_predicted"] > 10
+        assert half["mean_precision"] > 0.7
+        # and full resolution stays the reference point
+        assert full["mean_precision"] > 0.85
+
+    def test_agreement_mask(self):
+        idx = jnp.zeros(8, jnp.int32)
+        valid = jnp.zeros(8, bool)
+        # live slots: 2, disagreeing on validity in one of them
+        valid_b = valid.at[0].set(True)
+        mask = jnp.zeros(8, bool).at[0].set(True).at[1].set(True)
+        # unmasked: 7/8 agree (inflated); masked: 1/2
+        assert np.isclose(float(match_agreement(idx, valid, idx, valid_b)), 7 / 8)
+        assert np.isclose(
+            float(match_agreement(idx, valid, idx, valid_b, mask=mask)), 0.5
+        )
