@@ -150,7 +150,10 @@ def cmd_reconstruct(args):
         from fastmatch_tpu.utils.metrics import MetricsLogger
 
         metrics = MetricsLogger(path=args.metrics)
-    rec = reconstruct(feats, cam, cfg, metrics=metrics)
+    from fastmatch_tpu.utils.metrics import profile_trace
+
+    with profile_trace(args.profile_dir):
+        rec = reconstruct(feats, cam, cfg, metrics=metrics)
     if metrics:
         metrics.close()
     centers = rec.camera_centers()
@@ -293,6 +296,8 @@ def main(argv=None):
     sp.add_argument("--out")
     sp.add_argument("--checkpoint")
     sp.add_argument("--metrics", help="write JSONL metrics here")
+    sp.add_argument("--profile-dir",
+                    help="capture a jax.profiler trace here (tensorboard)")
     sp.set_defaults(fn=cmd_reconstruct)
 
     sp = sub.add_parser("slam")

@@ -47,6 +47,13 @@ class SlamConfig:
     loop_min_votes: int = 25      # descriptor-match votes to consider a loop
     loop_kernel_delta: float = 0.1  # geman kernel width for PGO
     pgo_iters: int = 40
+    # Keyframe selection (T21): a frame becomes a keyframe (contributes
+    # observations + new landmarks) when tracking weakens below
+    # ``kf_tracked_thresh`` PnP inliers or ``kf_max_gap`` frames passed
+    # since the last keyframe. 0 = every frame is a keyframe (default,
+    # the dense-mapping behavior).
+    kf_tracked_thresh: int = 0
+    kf_max_gap: int = 5
 
 
 @dataclass
@@ -137,6 +144,7 @@ def slam(
     out.odo_edges.append((1, 0, _np(Z.R), _np(Z.t)))
 
     # ---- main loop ----
+    last_kf = 1
     for f in range(2, len(features)):
         xyf, df, mf = features[f]
         # Track against the LOCAL map only.
@@ -160,8 +168,15 @@ def slam(
         rec.pose_mask[f] = True
         rec.n_frames = f + 1
         inl = np.asarray(pn.inliers)
-        rec.add_observations(f, lm[inl], xfn[inl])
-        kp_landmark[f][q[inl]] = lm[inl]
+        is_kf = (
+            scfg.kf_tracked_thresh <= 0
+            or int(inl.sum()) < scfg.kf_tracked_thresh
+            or (f - last_kf) >= scfg.kf_max_gap
+        )
+        if is_kf:
+            last_kf = f
+            rec.add_observations(f, lm[inl], xfn[inl])
+            kp_landmark[f][q[inl]] = lm[inl]
         pt_last_seen[lm[inl]] = f
         # Odometry edge recorded at tracking time: Z = T_f T_{f-1}^-1.
         Tf = SE3(jnp.asarray(rec.R[f]), jnp.asarray(rec.t[f]))
@@ -169,13 +184,18 @@ def slam(
         Z = Tf.compose(Tp.inverse())
         out.odo_edges.append((f, f - 1, _np(Z.R), _np(Z.t)))
 
-        # New landmarks vs previous frame.
+        # New landmarks vs previous frame (keyframes only: non-keyframes
+        # track and localize but do not grow the map).
         xyp, dp, mp = features[f - 1]
         free_prev = mp & (kp_landmark[f - 1] < 0)
         free_cur = mf.copy()
         free_cur[q[inl]] = False
-        valid2, idx2 = _match(df, free_cur, dp, free_prev, cfg)
-        q2 = np.where(valid2 & (kp_landmark[f] < 0))[0]
+        if is_kf:
+            valid2, idx2 = _match(df, free_cur, dp, free_prev, cfg)
+            q2 = np.where(valid2 & (kp_landmark[f] < 0))[0]
+        else:
+            q2 = np.zeros(0, np.int64)
+            idx2 = np.zeros(0, np.int64)
         t2 = idx2[q2]
         if len(q2):
             xcn = _normalize(xyf[q2], camera)

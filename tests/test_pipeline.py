@@ -90,3 +90,22 @@ class TestReconstruct:
         rec = reconstruct(feats, Pinhole.from_K(scene.K), small_cfg)
         assert len(rec.frame_stats) == 6
         assert rec.frame_stats[2]["n_pnp_inliers"] > 10
+
+
+@pytest.mark.slow
+class TestConfig3Scale:
+    def test_fifty_frame_sequence(self, rng):
+        """BASELINE.json config 3: a 50-frame sequence through detect-style
+        features -> match -> RANSAC pose -> incremental BA, ATE-gated."""
+        scene = SyntheticScene(rng, n_points=400, n_frames=50)
+        feats = synthetic_features(rng, scene, noise_px=0.4)
+        cfg = PipelineConfig(
+            ba=BAConfig(interval=8, max_iters=8, pcg_iters=30),
+            map=MapConfig(max_frames=64, max_points=16384, max_obs=131072),
+        )
+        rec = reconstruct(feats, Pinhole.from_K(scene.K), cfg)
+        assert rec.n_frames == 50
+        gt = np.einsum("fji,fj->fi", scene.R, -scene.t)
+        ate = float(ate_rmse(jnp.asarray(rec.camera_centers()), jnp.asarray(gt)))
+        # GT span is ~7 world units; reconstruction aligns to ~1% of it.
+        assert ate < 0.1, ate

@@ -117,3 +117,33 @@ class TestSlam:
     def test_odometry_edges_complete(self, result):
         out, _ = result
         assert len(out.odo_edges) == 25  # one per consecutive pair
+
+
+@pytest.mark.slow
+class TestKeyframeSelection:
+    def test_keyframe_gate_caps_map_growth(self):
+        """On a redundant (slow-motion) sequence, keyframe gating carries
+        fewer observations while the trajectory stays accurate. (On fast
+        sequences where every frame is needed the gate must stay off — the
+        26-frame circle loses tracking with any gating, by design.)"""
+        local_rng = np.random.default_rng(7)
+        scene = CircleScene(local_rng, n_points=300, n_frames=40)
+        feats = features_of(local_rng, scene)
+        cfg = PipelineConfig(
+            ba=BAConfig(interval=5, max_iters=8, pcg_iters=30),
+            map=MapConfig(max_frames=64, max_points=8192, max_obs=65536),
+        )
+        base = dict(window=8, loop_gap=14, loop_min_votes=20)
+        dense = slam(feats, Pinhole.from_K(scene.K), cfg, SlamConfig(**base))
+        sparse = slam(
+            feats, Pinhole.from_K(scene.K), cfg,
+            SlamConfig(**base, kf_tracked_thresh=45, kf_max_gap=2),
+        )
+        assert sparse.rec.n_frames == dense.rec.n_frames
+        assert sparse.rec.n_obs < 0.9 * dense.rec.n_obs
+        gt = np.einsum("fji,fj->fi", scene.R, -scene.t)
+        for out in (dense, sparse):
+            ate = float(ate_rmse(
+                jnp.asarray(out.rec.camera_centers()), jnp.asarray(gt)
+            ))
+            assert ate < 0.25, ate
