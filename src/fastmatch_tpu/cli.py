@@ -116,6 +116,10 @@ def _load_features(args, cfg):
         from fastmatch_tpu.features.sift import detect_and_describe
 
         paths = sorted(glob.glob(args.input + "/*"))
+        if len(paths) < 2:
+            raise ValueError(
+                f"{args.input}: need at least 2 frames, found {len(paths)}"
+            )
 
         def detect(im):
             kps, descs = detect_and_describe(jnp.asarray(im), cfg.sift)

@@ -42,19 +42,28 @@ class ImagePair:
     H_ab: np.ndarray
 
 
+def _resize_np(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Separable bilinear resize, same center-aligned sampling + edge
+    clamping as the native fm_resize_bilinear (no zero-padding bleed)."""
+    sh, sw = img.shape
+    ys = np.clip((np.arange(h) + 0.5) * sh / h - 0.5, 0, sh - 1)
+    xs = np.clip((np.arange(w) + 0.5) * sw / w - 0.5, 0, sw - 1)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, sh - 2)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, sw - 2)
+    fy = (ys - y0).astype(np.float32)[:, None]
+    fx = (xs - x0).astype(np.float32)[None, :]
+    r0 = img[y0][:, x0] * (1 - fx) + img[y0][:, x0 + 1] * fx
+    r1 = img[y0 + 1][:, x0] * (1 - fx) + img[y0 + 1][:, x0 + 1] * fx
+    return (r0 * (1 - fy) + r1 * fy).astype(np.float32)
+
+
 def _gray(img: str | np.ndarray, size=None) -> np.ndarray:
     """Decode/convert to (H, W) float32 grayscale, resized to ``size``
-    ((w, h)) when given — ndarray inputs resize through warp_image with a
-    pure-scaling homography so both sources behave identically."""
+    ((w, h)) when given."""
     if isinstance(img, np.ndarray):
         img = img.astype(np.float32)
         if size is not None and (img.shape[1], img.shape[0]) != size:
-            w, h = size
-            sx, sy = img.shape[1] / w, img.shape[0] / h
-            S = np.array([[1 / sx, 0, 0], [0, 1 / sy, 0], [0, 0, 1]], np.float32)
-            big = np.zeros((max(h, img.shape[0]), max(w, img.shape[1])), np.float32)
-            big[: img.shape[0], : img.shape[1]] = img
-            return warp_image(big, S)[:h, :w]
+            return _resize_np(img, *size)
         return img
     from fastmatch_tpu.utils.imageio import load_gray
 
@@ -202,8 +211,8 @@ def evaluate_pairs(pairs, sift_cfg=None, ratio: float = 0.8, tol: float = 3.0,
     for pair in pairs:
         ia0 = _gray(pair.image_a)
         ib0 = _gray(pair.image_b)
-        ia = _gray(ia0, size)
-        ib = _gray(ib0, size)
+        ia = _gray(ia0, size) if size is not None else ia0
+        ib = _gray(ib0, size) if size is not None else ib0
         H_ab = np.asarray(pair.H_ab, np.float64)
         if size is not None:
             # H maps ORIGINAL-resolution pixels; conjugate by the resize

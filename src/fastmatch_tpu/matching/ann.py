@@ -184,8 +184,7 @@ def match_pair_ann_big(
     """
     M = index.desc.capacity
     K = index.centroids.shape[0]
-    if budget > M:
-        raise ValueError(f"budget {budget} exceeds bank capacity {M}")
+    budget = min(budget, M)  # a budget covering the whole bank is exact search
     a = desc_a.data.astype(jnp.float32)
     dq = (
         jnp.sum(a * a, 1, keepdims=True)

@@ -176,7 +176,10 @@ def slam(
         if is_kf:
             last_kf = f
             rec.add_observations(f, lm[inl], xfn[inl])
-            kp_landmark[f][q[inl]] = lm[inl]
+        # Tracking associations are recorded unconditionally: the next
+        # keyframe must not treat this frame's tracked keypoints as "free"
+        # and re-triangulate duplicates of mapped landmarks.
+        kp_landmark[f][q[inl]] = lm[inl]
         pt_last_seen[lm[inl]] = f
         # Odometry edge recorded at tracking time: Z = T_f T_{f-1}^-1.
         Tf = SE3(jnp.asarray(rec.R[f]), jnp.asarray(rec.t[f]))
@@ -228,8 +231,18 @@ def slam(
             src = idx3[valid3] // per  # frame votes
             if len(src):
                 votes = np.bincount(src, minlength=n_old)
-                cand = int(votes.argmax())
-                if votes[cand] >= scfg.loop_min_votes:
+                # Keyframe-gated runs: the top-voted frame may carry no
+                # observations (non-keyframe); fall back through the vote
+                # ranking to the best candidate that has mapped landmarks.
+                cand = -1
+                for c in np.argsort(-votes)[:4]:
+                    if votes[c] < scfg.loop_min_votes:
+                        break
+                    has_obs = np.any(rec.obs_cam[: rec.n_obs] == c)
+                    if has_obs:
+                        cand = int(c)
+                        break
+                if cand >= 0:
                     # Geometric verification: PnP against landmarks observed
                     # by the candidate frame.
                     obs_of_c = (rec.obs_cam[: rec.n_obs] == cand)
