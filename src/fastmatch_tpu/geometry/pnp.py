@@ -112,9 +112,18 @@ def ransac_pnp(
 ) -> PnPResult:
     """RANSAC PnP on (P, 3)/(P, 2) correspondences with validity mask.
 
-    thr: squared reprojection threshold in normalized coords.
+    thr: squared reprojection threshold in normalized coords. Fewer
+    candidates than the 6-point minimal sample returns ok=False instead of
+    crashing.
     """
     p_count = mask.shape[0]
+    if p_count < 6:
+        return PnPResult(
+            pose=SE3(jnp.eye(3), jnp.zeros(3)),
+            inliers=jnp.zeros(p_count, bool),
+            n_inliers=jnp.int32(0),
+            ok=jnp.bool_(False),
+        )
     g = jax.random.gumbel(key, (n_hyp, p_count))
     g = jnp.where(mask[None, :], g, -jnp.inf)
     _, idx = jax.lax.top_k(g, 6)

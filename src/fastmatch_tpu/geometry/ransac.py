@@ -60,7 +60,16 @@ def ransac_essential(
 
     x1, x2: (P, 2) normalized coords; mask: (P,) validity. ``thr`` is the
     squared Sampson-error threshold in normalized units ((px_err/f)^2-ish).
+    Fewer candidates than the 8-point minimal sample returns ok=False
+    instead of crashing (tracking code treats that as "estimation failed").
     """
+    p_count = mask.shape[0]
+    if p_count < 8:
+        return RansacResult(
+            R=jnp.eye(3), t=jnp.zeros(3), E=jnp.zeros((3, 3)),
+            inliers=jnp.zeros(p_count, bool), n_inliers=jnp.int32(0),
+            ok=jnp.bool_(False),
+        )
     idx = _sample_minimal_sets(key, mask, n_hyp, 8)  # (K, 8)
     s1 = x1[idx]  # (K, 8, 2)
     s2 = x2[idx]

@@ -42,6 +42,12 @@ class MapConfig:
     max_points: int = 8192
     max_obs: int = 65536
     min_parallax_deg: float = 1.0
+    # New-landmark dedup: a keypoint whose nearest map descriptor is closer
+    # than this squared-L2 distance is a re-observation, not a new landmark.
+    # The ratio test CANNOT do this job: once two copies of a landmark are
+    # in the bank, d1 ~ d2 and the ratio test reports "no match" forever,
+    # making duplication self-sustaining.
+    dedup_desc_d2: float = 0.35
 
 
 @dataclasses.dataclass(frozen=True)

@@ -146,6 +146,22 @@ def _to_desc_container(desc: np.ndarray, mask: np.ndarray) -> Descriptors:
     return Descriptors(jnp.asarray(desc), jnp.asarray(mask))
 
 
+def _known_in_map(desc, mask, rec, cfg) -> np.ndarray:
+    """Keypoints whose nearest map descriptor is within dedup_desc_d2 —
+    re-observations of existing landmarks (must not be re-triangulated)."""
+    if not rec.pt_mask.any():
+        return np.zeros_like(mask)
+    m = match_pair(
+        _to_desc_container(desc, mask),
+        _to_desc_container(rec.pt_desc, rec.pt_mask),
+        ratio=1.0,
+        cross_check=False,
+        backend=cfg.matching.backend,
+        precision=cfg.matching.precision,
+    )
+    return np.asarray(m.valid) & (np.asarray(m.dist) < cfg.map.dedup_desc_d2)
+
+
 def _match(desc_a, mask_a, desc_b, mask_b, cfg) -> tuple[np.ndarray, np.ndarray]:
     m = match_pair(
         _to_desc_container(desc_a, mask_a),
@@ -310,6 +326,9 @@ def reconstruct(
         free_prev = mp & (kp_landmark[f - 1] < 0)
         free_cur = mf.copy()
         free_cur[q[inl]] = False
+        # Don't re-triangulate re-observations of existing landmarks (the
+        # ratio test can't detect them once the bank holds duplicates).
+        free_cur &= ~_known_in_map(df, free_cur, rec, cfg)
         valid2, idx2 = _match(df, free_cur, dp, free_prev, cfg)
         q2 = np.where(valid2 & (kp_landmark[f] < 0))[0]
         t2 = idx2[q2]

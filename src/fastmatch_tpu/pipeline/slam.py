@@ -33,6 +33,7 @@ from fastmatch_tpu.geometry.ransac import ransac_essential
 from fastmatch_tpu.pipeline.config import PipelineConfig
 from fastmatch_tpu.pipeline.reconstruct import (
     Reconstruction,
+    _known_in_map,
     _match,
     _normalize,
     _triangulate_two_view,
@@ -194,6 +195,11 @@ def slam(
         free_cur = mf.copy()
         free_cur[q[inl]] = False
         if is_kf:
+            # Exclude keypoints near ANY mapped landmark descriptor (not
+            # just the local tracking window): window-expired landmarks
+            # would otherwise be re-triangulated as duplicates on every
+            # revisit. Absolute-distance gate, see MapConfig.dedup_desc_d2.
+            free_cur &= ~_known_in_map(df, free_cur, rec, cfg)
             valid2, idx2 = _match(df, free_cur, dp, free_prev, cfg)
             q2 = np.where(valid2 & (kp_landmark[f] < 0))[0]
         else:

@@ -76,13 +76,14 @@ class SyntheticScene:
         image_size=(640, 480),
         noise_px: float = 0.0,
         orbit_radius: float = 6.0,
+        span: float = 0.6,
     ):
         w, h = image_size
         self.K = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1.0]])
         self.points = rng.uniform(-2.0, 2.0, size=(n_points, 3))
         Rs, ts = [], []
         for f in range(n_frames):
-            ang = 0.6 * f / max(n_frames - 1, 1) - 0.3
+            ang = span * f / max(n_frames - 1, 1) - span / 2
             eye = np.array(
                 [orbit_radius * np.sin(ang), 0.5 * np.sin(2 * ang), -orbit_radius * np.cos(ang)]
             )

@@ -141,3 +141,37 @@ class TestPnP:
             return (np.linalg.norm(uv - x, axis=1) * w).sum()
 
         assert reproj(pose1) <= reproj(pose0) + 1e-9
+
+
+class TestDegenerateInputs:
+    """Fewer candidates than the minimal sample: ok=False, no crash."""
+
+    def test_essential_too_few(self, rng):
+        import jax
+
+        res = ransac_essential(
+            jax.random.PRNGKey(0),
+            jnp.zeros((5, 2)), jnp.zeros((5, 2)), jnp.ones(5, bool),
+        )
+        assert not bool(res.ok)
+        assert int(res.n_inliers) == 0
+
+    def test_pnp_too_few(self, rng):
+        import jax
+        from fastmatch_tpu.geometry.pnp import ransac_pnp
+
+        res = ransac_pnp(
+            jax.random.PRNGKey(0),
+            jnp.zeros((5, 3)), jnp.zeros((5, 2)), jnp.ones(5, bool),
+        )
+        assert not bool(res.ok)
+
+    def test_pnp_empty(self, rng):
+        import jax
+        from fastmatch_tpu.geometry.pnp import ransac_pnp
+
+        res = ransac_pnp(
+            jax.random.PRNGKey(0),
+            jnp.zeros((0, 3)), jnp.zeros((0, 2)), jnp.ones(0, bool),
+        )
+        assert not bool(res.ok)

@@ -97,14 +97,21 @@ class TestConfig3Scale:
     def test_fifty_frame_sequence(self, rng):
         """BASELINE.json config 3: a 50-frame sequence through detect-style
         features -> match -> RANSAC pose -> incremental BA, ATE-gated."""
-        scene = SyntheticScene(rng, n_points=400, n_frames=50)
-        feats = synthetic_features(rng, scene, noise_px=0.4)
+        scene = SyntheticScene(rng, n_points=400, n_frames=50, span=2.0)
+        feats = synthetic_features(rng, scene, noise_px=0.3)
         cfg = PipelineConfig(
-            ba=BAConfig(interval=8, max_iters=8, pcg_iters=30),
-            map=MapConfig(max_frames=64, max_points=16384, max_obs=131072),
+            ba=BAConfig(interval=5, max_iters=8, pcg_iters=30),
+            # The testkit's 0.05 descriptor noise puts same-landmark pairs
+            # at d2 ~ 0.34 (real SIFT re-observations sit much closer), so
+            # the dedup gate needs to be wider than the product default.
+            map=MapConfig(max_frames=64, max_points=16384, max_obs=131072,
+                          dedup_desc_d2=0.5),
         )
         rec = reconstruct(feats, Pinhole.from_K(scene.K), cfg)
         assert rec.n_frames == 50
+        # landmark dedup: the map should be close to the 400 true points,
+        # not thousands of duplicates
+        assert int(rec.pt_mask.sum()) < 600
         gt = np.einsum("fji,fj->fi", scene.R, -scene.t)
         ate = float(ate_rmse(jnp.asarray(rec.camera_centers()), jnp.asarray(gt)))
         # GT span is ~7 world units; reconstruction aligns to ~1% of it.
