@@ -192,7 +192,14 @@ def cmd_slam(args):
         loop_min_votes=args.loop_min_votes,
     )
     feats, cam = _load_features(args, cfg)
-    out = slam(feats, cam, cfg, scfg)
+    metrics = None
+    if args.metrics:
+        from fastmatch_tpu.utils.metrics import MetricsLogger
+
+        metrics = MetricsLogger(path=args.metrics)
+    out = slam(feats, cam, cfg, scfg, metrics=metrics)
+    if metrics:
+        metrics.close()
     rec = out.rec
     if args.out:
         np.savez(
@@ -313,6 +320,7 @@ def main(argv=None):
     sp.add_argument("--out")
     sp.add_argument("--trajectory", help="write TUM-format trajectory here")
     sp.add_argument("--checkpoint")
+    sp.add_argument("--metrics", help="write JSONL metrics here")
     sp.set_defaults(fn=cmd_slam)
 
     sp = sub.add_parser("evaluate")

@@ -75,9 +75,12 @@ def slam(
     cfg: PipelineConfig = PipelineConfig(),
     scfg: SlamConfig = SlamConfig(),
     seed: int = 0,
+    metrics=None,
 ) -> SlamResult:
     """Run online SLAM over a feature sequence (same feature format as
-    reconstruct). Returns the corrected map and loop/odometry bookkeeping."""
+    reconstruct). Returns the corrected map and loop/odometry bookkeeping.
+    ``metrics``: optional utils.metrics.MetricsLogger (per-frame tracking
+    counters, loop-closure and PGO events)."""
     rec = Reconstruction(cfg=cfg, camera=camera)
     out = SlamResult(rec=rec)
     key = jax.random.PRNGKey(seed)
@@ -187,6 +190,10 @@ def slam(
         Tp = SE3(jnp.asarray(prevR), jnp.asarray(prevt))
         Z = Tf.compose(Tp.inverse())
         out.odo_edges.append((f, f - 1, _np(Z.R), _np(Z.t)))
+        if metrics:
+            metrics.log("track", frame=f, n_candidates=len(q),
+                        n_inliers=int(inl.sum()), keyframe=bool(is_kf),
+                        n_points=int(rec.pt_mask.sum()))
 
         # New landmarks vs previous frame (keyframes only: non-keyframes
         # track and localize but do not grow the map).
@@ -276,6 +283,10 @@ def slam(
                                 out.loop_edges.append(
                                     (f, cand, _np(Zl.R), _np(Zl.t))
                                 )
+                                if metrics:
+                                    metrics.log("loop_closure", frame=f,
+                                                candidate=cand,
+                                                inliers=int(pl.n_inliers))
                                 _run_pgo_and_refine(rec, out, f, scfg, cfg, camera)
                                 closed = True
         if cfg.ba.interval and (f % cfg.ba.interval == 0) and not closed:

@@ -29,6 +29,7 @@ def test_cli_slam_npz(tmp_path, capsys, rng):
 
     traj = tmp_path / "traj.txt"
     out = tmp_path / "map.npz"
+    mpath = tmp_path / "metrics.jsonl"
     main([
         "--set", "ba.interval=5", "--set", "ba.max_iters=8",
         "--set", "ba.pcg_iters=30",
@@ -37,7 +38,11 @@ def test_cli_slam_npz(tmp_path, capsys, rng):
         "slam", str(inp), "--focal", str(scene.K[0, 0]),
         "--window", "6", "--loop-gap", "10", "--loop-min-votes", "20",
         "--out", str(out), "--trajectory", str(traj),
+        "--metrics", str(mpath),
     ])
+    events = [json.loads(l) for l in open(mpath)]
+    kinds = {e["event"] for e in events}
+    assert "track" in kinds and "loop_closure" in kinds
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["n_frames"] == 26
     assert rep["loop_closures"] >= 1
