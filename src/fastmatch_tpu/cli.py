@@ -78,16 +78,33 @@ def cmd_match(args):
     from fastmatch_tpu.matching.matcher import match_pair
 
     cfg = _load_config(args)
-    da = descriptors_from_numpy(np.load(args.a).astype(np.float32))
-    db = descriptors_from_numpy(np.load(args.b).astype(np.float32))
+
+    def load_side(path):
+        if path.endswith(".npy"):
+            return None, descriptors_from_numpy(np.load(path).astype(np.float32))
+        # image file: native decode + on-device SIFT
+        from fastmatch_tpu.utils.imageio import load_gray
+        from fastmatch_tpu.features.sift import detect_and_describe
+
+        kps, descs = detect_and_describe(jnp.asarray(load_gray(path)), cfg.sift)
+        return np.array(kps.xy), descs
+
+    xy_a, da = load_side(args.a)
+    xy_b, db = load_side(args.b)
     m = match_pair(da, db, ratio=cfg.matching.ratio,
                    cross_check=cfg.matching.cross_check,
-                   backend=cfg.matching.backend)
-    valid = np.asarray(m.valid)
+                   backend=cfg.matching.backend,
+                   precision=cfg.matching.precision)
+    valid = np.asarray(m.valid) & np.asarray(da.mask)
     idx = np.asarray(m.idx)
     out = np.stack([np.where(valid)[0], idx[valid]], axis=1)
     if args.out:
-        np.save(args.out, out)
+        if xy_a is not None and xy_b is not None:
+            # image inputs: also export matched pixel coordinates
+            np.savez(args.out, pairs=out, xy_a=xy_a[out[:, 0]],
+                     xy_b=xy_b[out[:, 1]])
+        else:
+            np.save(args.out, out)
     print(json.dumps({"n_matches": int(valid.sum()), "out": args.out}))
 
 

@@ -137,3 +137,31 @@ class TestMetricsFlag:
         frames = [e for e in events if e["event"] == "frame"]
         assert len(frames) == 3  # frames 2..4
         assert all("n_pnp_inliers" in e for e in frames)
+
+
+class TestMatchImages:
+    def test_match_two_images(self, rng, tmp_path, capsys):
+        """`match` on two image files: native decode + SIFT + matcher, with
+        matched pixel coordinates exported."""
+        import json as _json
+        from synth import render_blob_image
+
+        img = render_blob_image(rng, (192, 192), n_blobs=60)
+        # second view: small translation (crop-shift)
+        img2 = np.roll(img, (4, 7), axis=(0, 1))
+        for name, im in (("a.pgm", img), ("b.pgm", img2)):
+            with open(tmp_path / name, "wb") as fh:
+                fh.write(b"P5\n192 192\n255\n" + (im * 255).astype(np.uint8).tobytes())
+        from fastmatch_tpu.cli import main
+
+        out = tmp_path / "m.npz"
+        main(["--set", "sift.capacity=256", "match",
+              str(tmp_path / "a.pgm"), str(tmp_path / "b.pgm"),
+              "--out", str(out)])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["n_matches"] > 10
+        data = np.load(out)
+        # matched pixel pairs should differ by roughly the roll shift
+        d = data["xy_b"] - data["xy_a"]
+        med = np.median(d, axis=0)
+        assert np.allclose(med, [7, 4], atol=1.5), med
