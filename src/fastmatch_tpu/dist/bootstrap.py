@@ -32,6 +32,17 @@ def initialize_distributed(
         if process_id is not None
         else int(os.environ.get("PROCESS_ID", "-1"))
     )
+    configured = [coordinator is not None and coordinator != "",
+                  num_processes > 1, process_id >= 0]
+    if any(configured) and not all(configured):
+        # Fail fast: a partially-specified launch (e.g. COORDINATOR_ADDRESS
+        # typo'd) silently becoming N independent single-host jobs is the
+        # worst failure mode a distributed bootstrap can have.
+        raise RuntimeError(
+            "partial distributed config: coordinator="
+            f"{coordinator!r} num_processes={num_processes} "
+            f"process_id={process_id} — set all three or none"
+        )
     if coordinator and num_processes > 1 and process_id >= 0:
         jax.distributed.initialize(
             coordinator_address=coordinator,
@@ -48,13 +59,14 @@ def initialize_distributed(
 
 def _encode_cfg(o):
     """Config tree -> JSON-able dict. Nodes are frozen dataclasses or
-    NamedTuples (SIFTConfig); leaves are plain scalars/strings."""
+    NamedTuples (SIFTConfig); leaves are plain scalars/strings; plain
+    tuples/lists recurse element-wise."""
     if dataclasses.is_dataclass(o):
         return {f.name: _encode_cfg(getattr(o, f.name)) for f in dataclasses.fields(o)}
     if hasattr(o, "_fields"):
         return {k: _encode_cfg(v) for k, v in o._asdict().items()}
-    if isinstance(o, tuple):
-        return list(o)
+    if isinstance(o, (tuple, list)):
+        return [_encode_cfg(v) for v in o]
     return o
 
 
@@ -70,15 +82,20 @@ def _rebuild_cfg(template, data):
     if hasattr(template, "_fields"):
         kw = {k: _rebuild_cfg(getattr(template, k), data[k]) for k in template._fields}
         return template._replace(**kw)
-    if isinstance(template, tuple):
-        return tuple(data)
+    if isinstance(template, (tuple, list)):
+        rebuilt = [
+            _rebuild_cfg(template[i] if i < len(template) else None, v)
+            for i, v in enumerate(data)
+        ]
+        return tuple(rebuilt) if isinstance(template, tuple) else rebuilt
     return data
 
 
 def broadcast_config(cfg, is_source: bool | None = None):
-    """Broadcast a config tree from process 0 to all hosts via a device
-    broadcast of its JSON bytes — guarantees every host runs the same graded
-    configuration (config hash recorded in checkpoints)."""
+    """Broadcast a config tree to all hosts via a device broadcast of its
+    JSON bytes — guarantees every host runs the same graded configuration
+    (config hash recorded in checkpoints). ``is_source`` marks the owning
+    host (default: process 0)."""
     from jax.experimental import multihost_utils
 
     if jax.process_count() == 1:
@@ -87,6 +104,9 @@ def broadcast_config(cfg, is_source: bool | None = None):
     if len(payload) > 65536:
         raise ValueError(f"config too large to broadcast ({len(payload)} bytes)")
     arr = np.frombuffer(payload.ljust(65536, b"\0"), dtype=np.uint8)
-    out = multihost_utils.broadcast_one_to_all(arr)
+    if is_source is None:
+        out = multihost_utils.broadcast_one_to_all(arr)
+    else:
+        out = multihost_utils.broadcast_one_to_all(arr, is_source=is_source)
     data = bytes(np.asarray(out)).rstrip(b"\0")
     return _rebuild_cfg(cfg, json.loads(data.decode()))

@@ -48,22 +48,20 @@ def shard_observations(obs: Observations, n_shards: int) -> Observations:
     )
 
 
-def ba_solve_sharded(
-    problem: BAProblem,
-    mesh: Mesh,
-    max_iters: int = 20,
-    pcg_iters: int = 40,
-    huber_delta_static: float | None = None,
-) -> BAResult:
-    """Run LM-BA with observations sharded over mesh axis ``bank``."""
-    n_shards = mesh.shape["bank"]
-    obs = shard_observations(problem.obs, n_shards)
-    problem = problem._replace(obs=obs)
+import functools
 
+
+@functools.lru_cache(maxsize=None)
+def _sharded_solver(mesh: Mesh, max_iters: int, pcg_iters: int,
+                    huber_delta_static):
+    """Jitted shard_map'd BA solver, cached per (mesh, options) — building
+    and retracing the collective graph per map block costs host seconds,
+    serialized against the device (exactly what the overlap scheduler is
+    meant to hide)."""
     rep = P()
     obs_spec = Observations(P("bank"), P("bank"), P("bank"), P("bank"))
     in_specs = BAProblem(
-        poses=jax.tree.map(lambda _: rep, problem.poses),
+        poses=SE3(rep, rep),
         points=rep,
         obs=obs_spec,
         cam_mask=rep,
@@ -88,4 +86,19 @@ def ba_solve_sharded(
         body, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(fn)(problem)
+    return jax.jit(fn)
+
+
+def ba_solve_sharded(
+    problem: BAProblem,
+    mesh: Mesh,
+    max_iters: int = 20,
+    pcg_iters: int = 40,
+    huber_delta_static: float | None = None,
+) -> BAResult:
+    """Run LM-BA with observations sharded over mesh axis ``bank``."""
+    n_shards = mesh.shape["bank"]
+    obs = shard_observations(problem.obs, n_shards)
+    problem = problem._replace(obs=obs)
+    fn = _sharded_solver(mesh, max_iters, pcg_iters, huber_delta_static)
+    return fn(problem)

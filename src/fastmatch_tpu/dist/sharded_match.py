@@ -74,8 +74,6 @@ def match_pair_sharded(
     m = desc_b.data.shape[0]
     if m % n_shards:
         raise ValueError(f"bank capacity {m} must divide by {n_shards} shards")
-    ms = m // n_shards
-    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
     a = desc_a.data.astype(jnp.float32)
     b = desc_b.data.astype(jnp.float32)
@@ -84,21 +82,45 @@ def match_pair_sharded(
     b2 = jnp.sum(b * b, axis=-1)
     b2m = jnp.where(desc_b.mask, b2, BIG)
 
+    fn = _ring_runner(mesh, n, m, interpret)
+    d1, idx1, d2nd, nnb = fn(a, a2m, b, b2m)
+    r = jnp.float32(ratio)
+    ok = desc_a.mask & (d1 < r * r * d2nd) & (d2nd < BIG)
+    if cross_check:
+        mutual = nnb[idx1] == jnp.arange(n, dtype=jnp.int32)
+        ok = ok & mutual
+    return Matches(idx=idx1.astype(jnp.int32), dist=jnp.where(ok, d1, BIG), valid=ok)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _ring_runner(mesh: Mesh, n: int, m: int, interpret: bool):
+    """shard_map'd ring matcher, cached per (mesh, shapes): rebuilding (and
+    re-tracing) the collective graph per call costs host seconds."""
+    n_shards = mesh.shape["bank"]
+    ms = m // n_shards
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
     def body(a, a2m, b_sh, b2m_sh):
         # Local shapes: b_sh (ms, 128), b2m_sh (ms,) — this device's shard.
         my = jax.lax.axis_index("bank")
-
-        # Home-shard column argmin for cross-check (exact, no ring needed).
-        _, _, _, nnb_local = distance_topk(a, b_sh, b2m_sh, a2m, interpret=interpret)
 
         v1 = jnp.full((n,), BIG, jnp.float32)
         i1 = jnp.zeros((n,), jnp.int32)
         v2 = jnp.full((n,), BIG, jnp.float32)
         i2 = jnp.zeros((n,), jnp.int32)
+        nnb_local = jnp.zeros((ms,), jnp.int32)
         b_cur, b2_cur = b_sh, b2m_sh
         for s in range(n_shards):
             owner = (my - s) % n_shards
-            ci1, cd1, cd2, _ = distance_topk(a, b_cur, b2_cur, a2m, interpret=interpret)
+            ci1, cd1, cd2, cnnb = distance_topk(a, b_cur, b2_cur, a2m,
+                                                interpret=interpret)
+            if s == 0:
+                # Home-shard pass doubles as the cross-check column argmin
+                # (exact: A is replicated, these are this shard's columns).
+                nnb_local = cnnb
             g1 = ci1 + owner * ms
             # Second-best index within the shard is not returned by the
             # kernel; it is only needed for merging, where its value cd2
@@ -113,20 +135,27 @@ def match_pair_sharded(
         return v1, i1, v2, nnb
 
     spec_rep = P()
-    fn = shard_map(
+    return shard_map(
         body,
         mesh=mesh,
         in_specs=(spec_rep, spec_rep, P("bank"), P("bank")),
         out_specs=(spec_rep, spec_rep, spec_rep, spec_rep),
         check_vma=False,
     )
-    d1, idx1, d2nd, nnb = fn(a, a2m, b, b2m)
-    r = jnp.float32(ratio)
-    ok = desc_a.mask & (d1 < r * r * d2nd) & (d2nd < BIG)
-    if cross_check:
-        mutual = nnb[idx1] == jnp.arange(n, dtype=jnp.int32)
-        ok = ok & mutual
-    return Matches(idx=idx1.astype(jnp.int32), dist=jnp.where(ok, d1, BIG), valid=ok)
+
+
+@functools.lru_cache(maxsize=None)
+def _dp_runner(mesh: Mesh, ratio: float, cross_check: bool, backend: str):
+    sh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def run(da, db):
+        da = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, sh), da)
+        db = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, sh), db)
+        f = partial(match_pair, ratio=ratio, cross_check=cross_check, backend=backend)
+        return jax.vmap(f)(da, db)
+
+    return run
 
 
 def match_batch_dp(
@@ -139,14 +168,6 @@ def match_batch_dp(
 ) -> Matches:
     """Data-parallel batched matching: leading batch axis sharded over
     ``data``. Pure jit + sharding constraint; XLA inserts no collectives
-    (pairs are independent)."""
-    sh = NamedSharding(mesh, P("data"))
-
-    @partial(jax.jit, static_argnames=("cross_check", "backend"))
-    def run(da, db, cross_check, backend):
-        da = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, sh), da)
-        db = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, sh), db)
-        f = partial(match_pair, ratio=ratio, cross_check=cross_check, backend=backend)
-        return jax.vmap(f)(da, db)
-
-    return run(desc_a, desc_b, cross_check, backend)
+    (pairs are independent). The jitted runner is cached per
+    (mesh, options) so repeated calls hit the compile cache."""
+    return _dp_runner(mesh, ratio, cross_check, backend)(desc_a, desc_b)

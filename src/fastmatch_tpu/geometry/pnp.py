@@ -47,7 +47,14 @@ def pnp_dlt(X: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray | None = None):
     scale = jnp.cbrt(jnp.abs(jnp.linalg.det(M)))
     scale = jnp.where(scale < 1e-12, 1.0, scale)
     P34 = P34 / scale[..., None, None]
-    centroid = jnp.mean(X, axis=-2)
+    if w is None:
+        centroid = jnp.mean(X, axis=-2)
+    else:
+        # Weighted: zero-weight rows (padding/outliers) must not drag the
+        # sign-disambiguation point — an unweighted centroid can sit at
+        # negative depth and flip t for a correct pose.
+        wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+        centroid = jnp.sum(X * w[..., None], axis=-2) / wsum
     ch = jnp.concatenate([centroid, jnp.ones_like(centroid[..., :1])], axis=-1)
     z_c = jnp.einsum("...ij,...j->...i", P34, ch)[..., 2]
     P34 = P34 * jnp.where(z_c < 0, -1.0, 1.0)[..., None, None]
@@ -124,9 +131,9 @@ def ransac_pnp(
             n_inliers=jnp.int32(0),
             ok=jnp.bool_(False),
         )
-    g = jax.random.gumbel(key, (n_hyp, p_count))
-    g = jnp.where(mask[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, 6)
+    from fastmatch_tpu.geometry.ransac import _sample_minimal_sets
+
+    idx = _sample_minimal_sets(key, mask, n_hyp, 6)
     poses = pnp_dlt(X[idx], x[idx])  # batched SE3 (K, 3, 3)/(K, 3)
 
     def score(R, t):

@@ -75,14 +75,37 @@ def _edge_jacobians(poses: SE3, g: PoseGraph):
 
 
 def _robust_weight(rn, delta, kernel: str):
-    """IRLS weight for residual norm rn: huber's linear tail still exerts
-    constant pull on gross outliers; geman (Geman-McClure) redescends to
-    zero — use it for possibly-wrong loop closures."""
+    """IRLS weight w = rho'(r)/r for residual norm rn: huber's linear tail
+    still exerts constant pull on gross outliers; geman (Geman-McClure)
+    redescends to zero — use it for possibly-wrong loop closures."""
     if kernel == "huber":
         return jnp.where(rn <= delta, 1.0, delta / jnp.maximum(rn, 1e-12))
     if kernel == "geman":
         return (delta**2 / (delta**2 + rn**2)) ** 2
     raise ValueError(f"unknown robust kernel {kernel!r}")
+
+
+def _robust_cost(rn, delta, kernel: str):
+    """The TRUE robust loss rho(rn) (monotone, saturating). LM acceptance
+    must compare this — the IRLS surrogate 0.5*w(r)*r^2 is NON-monotone for
+    redescending kernels (a step that blows a residual past delta scores
+    LOWER than a small residual), so accepting on it lets divergence
+    masquerade as convergence."""
+    if delta is None:
+        return 0.5 * rn * rn
+    if kernel == "huber":
+        return jnp.where(rn <= delta, 0.5 * rn * rn, delta * (rn - 0.5 * delta))
+    if kernel == "geman":
+        return 0.5 * delta**2 * rn**2 / (delta**2 + rn**2)
+    raise ValueError(f"unknown robust kernel {kernel!r}")
+
+
+def _graph_cost(poses: SE3, g: PoseGraph, delta, kernel: str):
+    """sum_e edge_weight * rho(|r_e|) — cheap (residuals only, no
+    Jacobian/Hessian assembly) and the correct LM acceptance criterion."""
+    r = edge_residuals(poses, g)
+    rn = jnp.linalg.norm(r, axis=-1)
+    return jnp.sum(g.edge_weight * _robust_cost(rn, delta, kernel))
 
 
 def _build_normal_eqs(poses: SE3, g: PoseGraph, huber_delta: float | None,
@@ -131,10 +154,9 @@ def pgo_solve(
     upd6 = jnp.repeat(upd, 6)
 
     def cost_of(R, t):
-        *_, c = _build_normal_eqs(SE3(R, t), g, huber_delta_static, kernel)
-        return c
+        return _graph_cost(SE3(R, t), g, huber_delta_static, kernel)
 
-    _, _, cost0 = _build_normal_eqs(g.poses, g, huber_delta_static, kernel)
+    cost0 = cost_of(g.poses.R, g.poses.t)
 
     def body(state):
         R, t, lam, cost, it, done = state
