@@ -87,14 +87,28 @@ def cmd_match(args):
         from fastmatch_tpu.features.sift import detect_and_describe
 
         kps, descs = detect_and_describe(jnp.asarray(load_gray(path)), cfg.sift)
-        return np.array(kps.xy), descs
+        return kps, descs
 
-    xy_a, da = load_side(args.a)
-    xy_b, db = load_side(args.b)
+    kp_a, da = load_side(args.a)
+    kp_b, db = load_side(args.b)
     m = match_pair(da, db, ratio=cfg.matching.ratio,
                    cross_check=cfg.matching.cross_check,
                    backend=cfg.matching.backend,
                    precision=cfg.matching.precision)
+    report = {}
+    if args.verify != "none":
+        if kp_a is None or kp_b is None:
+            raise ValueError("--verify needs image inputs (keypoint coords)")
+        import jax
+        from fastmatch_tpu.matching.verify import verify_matches
+
+        vr = verify_matches(jax.random.PRNGKey(0), kp_a, kp_b, m,
+                            model=args.verify, thr_px=args.verify_thr)
+        m = vr.matches
+        report["verified"] = bool(vr.ok)
+        report["model_inliers"] = int(vr.n_inliers)
+    xy_a = None if kp_a is None else np.array(kp_a.xy)
+    xy_b = None if kp_b is None else np.array(kp_b.xy)
     valid = np.asarray(m.valid) & np.asarray(da.mask)
     idx = np.asarray(m.idx)
     out = np.stack([np.where(valid)[0], idx[valid]], axis=1)
@@ -105,7 +119,7 @@ def cmd_match(args):
                      xy_b=xy_b[out[:, 1]])
         else:
             np.save(args.out, out)
-    print(json.dumps({"n_matches": int(valid.sum()), "out": args.out}))
+    print(json.dumps({"n_matches": int(valid.sum()), "out": args.out, **report}))
 
 
 def _load_features(args, cfg):
@@ -316,6 +330,12 @@ def main(argv=None):
     sp.add_argument("a")
     sp.add_argument("b")
     sp.add_argument("--out")
+    sp.add_argument("--verify", default="none",
+                    choices=["none", "fundamental", "homography"],
+                    help="geometric verification filter (image inputs only; "
+                         "essential needs intrinsics — use the library API)")
+    sp.add_argument("--verify-thr", type=float, default=3.0,
+                    help="inlier threshold in pixels for --verify")
     sp.set_defaults(fn=cmd_match)
 
     sp = sub.add_parser("reconstruct")

@@ -3,6 +3,22 @@ from fastmatch_tpu.geometry.epipolar import (
     eight_point_essential,
     sampson_error,
 )
+from fastmatch_tpu.geometry.fundamental import (
+    FundamentalResult,
+    eight_point_fundamental,
+    fundamental_from_essential,
+    ransac_fundamental,
+    seven_point_fundamental,
+)
+from fastmatch_tpu.geometry.homography import (
+    HomographyResult,
+    TwoViewModel,
+    decompose_homography,
+    dlt_homography,
+    ransac_homography,
+    select_two_view_model,
+    symmetric_transfer_error,
+)
 from fastmatch_tpu.geometry.ransac import ransac_essential, RansacResult
 from fastmatch_tpu.geometry.triangulation import triangulate_dlt
 from fastmatch_tpu.geometry.pnp import pnp_dlt, ransac_pnp
@@ -11,6 +27,18 @@ __all__ = [
     "decompose_essential",
     "eight_point_essential",
     "sampson_error",
+    "dlt_homography",
+    "symmetric_transfer_error",
+    "ransac_homography",
+    "decompose_homography",
+    "select_two_view_model",
+    "HomographyResult",
+    "TwoViewModel",
+    "eight_point_fundamental",
+    "seven_point_fundamental",
+    "ransac_fundamental",
+    "fundamental_from_essential",
+    "FundamentalResult",
     "ransac_essential",
     "RansacResult",
     "triangulate_dlt",

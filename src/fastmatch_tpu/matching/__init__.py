@@ -4,10 +4,13 @@ from fastmatch_tpu.matching.matcher import (
     match_pair_jnp,
     squared_distance_matrix,
 )
+from fastmatch_tpu.matching.verify import VerifyResult, verify_matches
 
 __all__ = [
     "match_batch",
     "match_pair",
     "match_pair_jnp",
     "squared_distance_matrix",
+    "verify_matches",
+    "VerifyResult",
 ]

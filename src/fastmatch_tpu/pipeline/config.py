@@ -26,6 +26,7 @@ class RansacConfig:
     n_hyp: int = 512
     thr_px: float = 2.0          # inlier threshold in pixels (converted by f)
     min_inliers: int = 15
+    model_select: bool = True    # bootstrap H-vs-E selection (planar scenes)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,6 +31,7 @@ from fastmatch_tpu.core.containers import Descriptors
 from fastmatch_tpu.core.lie import SE3
 from fastmatch_tpu.ba.lm import ba_solve
 from fastmatch_tpu.ba.problem import BAProblem, Observations
+from fastmatch_tpu.geometry.homography import select_two_view_model
 from fastmatch_tpu.geometry.ransac import ransac_essential
 from fastmatch_tpu.geometry.pnp import ransac_pnp
 from fastmatch_tpu.geometry.triangulation import triangulate_dlt
@@ -139,7 +140,17 @@ class Reconstruction:
 def _normalize(uv_px: np.ndarray, cam: Pinhole) -> np.ndarray:
     f = np.array([float(cam.fx), float(cam.fy)])
     c = np.array([float(cam.cx), float(cam.cy)])
-    return (uv_px - c) / f
+    xd = (uv_px - c) / f
+    k1 = float(cam.k1) if np.ndim(cam.k1) == 0 else 0.0
+    k2 = float(cam.k2) if np.ndim(cam.k2) == 0 else 0.0
+    if k1 or k2:
+        # Invert radial distortion (same fixed point as Pinhole.unproject).
+        xn = xd.copy()
+        for _ in range(10):
+            r2 = np.sum(xn * xn, axis=-1, keepdims=True)
+            xn = xd / (1.0 + k1 * r2 + k2 * r2 * r2)
+        return xn
+    return xd
 
 
 def _to_desc_container(desc: np.ndarray, mask: np.ndarray) -> Descriptors:
@@ -174,6 +185,53 @@ def _match(desc_a, mask_a, desc_b, mask_b, cfg) -> tuple[np.ndarray, np.ndarray]
     valid = np.asarray(m.valid)
     idx = np.asarray(m.idx)
     return valid, idx
+
+
+def _disambiguate_planar_bootstrap(res, x0n, x1n, seed_desc, features,
+                                   camera, cfg, thr_n, key):
+    """Resolve the planar two-fold ambiguity with the third view.
+
+    Two views of a plane admit two fully-consistent (R, t) interpretations
+    (geometry/homography.py:TwoViewModel); the image pair cannot separate
+    them. Triangulate the seed map under BOTH and keep the pose whose map
+    frame 2 localizes against with more PnP inliers — the wrong structure
+    reprojects inconsistently from any third viewpoint.
+
+    x0n/x1n: (Q, 2) normalized bootstrap correspondences; seed_desc: (Q, D)
+    frame-1 descriptors of those correspondences. Returns (R, t) as numpy.
+    """
+    xy2, d2, m2 = features[2]
+    inl = np.asarray(res.inliers)
+    candidates = (
+        (np.asarray(res.R), np.asarray(res.t)),
+        (np.asarray(res.R_alt), np.asarray(res.t_alt)),
+    )
+    best, best_count = candidates[0], -1
+    for Rc, tc in candidates:
+        R = jnp.asarray(np.stack([np.eye(3, dtype=np.float32),
+                                  Rc.astype(np.float32)]))
+        t = jnp.asarray(np.stack([np.zeros(3, np.float32),
+                                  tc.astype(np.float32)]))
+        x = jnp.asarray(np.stack([x0n[inl], x1n[inl]]).astype(np.float32))
+        pts, ok = triangulate_dlt(R, t, x)
+        pts, okn = np.array(pts), np.array(ok)
+        valid, idx = _match(d2, m2, seed_desc[inl], okn, cfg)
+        q = np.where(valid)[0]
+        count = 0
+        if len(q) >= 6:
+            pn = ransac_pnp(
+                key,
+                jnp.asarray(pts[idx[q]]),
+                jnp.asarray(_normalize(xy2[q], camera).astype(np.float32)),
+                jnp.ones(len(q), bool),
+                thr=thr_n,
+                n_hyp=128,
+                min_inliers=6,
+            )
+            count = int(pn.n_inliers) if bool(pn.ok) else 0
+        if count > best_count:
+            best, best_count = (Rc, tc), count
+    return best
 
 
 def _triangulate_two_view(rec, f1, f2, uv1, uv2, min_parallax_deg):
@@ -253,17 +311,38 @@ def reconstruct(
     x1n = _normalize(xy1[q], camera)
     x0n = _normalize(xy0[tr], camera)
     key, k1 = jax.random.split(key)
-    res = ransac_essential(
-        k1,
-        jnp.asarray(x0n.astype(np.float32)),
-        jnp.asarray(x1n.astype(np.float32)),
-        jnp.ones(len(q), dtype=bool),
-        thr=thr_n,
-        n_hyp=cfg.ransac.n_hyp,
-        min_inliers=cfg.ransac.min_inliers,
-    )
+    if cfg.ransac.model_select:
+        # H-vs-E selection: a planar scene (or near-pure rotation) leaves the
+        # essential solve degenerate while its inlier count stays high — the
+        # homography decomposition gives the well-posed pose there.
+        res = select_two_view_model(
+            k1,
+            jnp.asarray(x0n.astype(np.float32)),
+            jnp.asarray(x1n.astype(np.float32)),
+            jnp.ones(len(q), dtype=bool),
+            thr=thr_n,
+            n_hyp=cfg.ransac.n_hyp,
+            min_inliers=cfg.ransac.min_inliers,
+        )
+        bootstrap_used_h = bool(res.used_homography)
+    else:
+        res = ransac_essential(
+            k1,
+            jnp.asarray(x0n.astype(np.float32)),
+            jnp.asarray(x1n.astype(np.float32)),
+            jnp.ones(len(q), dtype=bool),
+            thr=thr_n,
+            n_hyp=cfg.ransac.n_hyp,
+            min_inliers=cfg.ransac.min_inliers,
+        )
+        bootstrap_used_h = False
     if not bool(res.ok):
         raise RuntimeError("two-view bootstrap failed")
+    if (bootstrap_used_h and bool(res.ambiguous) and len(features) > 2):
+        key, k3 = jax.random.split(key)
+        R_pick, t_pick = _disambiguate_planar_bootstrap(
+            res, x0n, x1n, d1[q], features, camera, cfg, thr_n, k3)
+        res = res._replace(R=jnp.asarray(R_pick), t=jnp.asarray(t_pick))
     rec.R[1] = np.asarray(res.R)
     rec.t[1] = np.asarray(res.t)
     rec.pose_mask[1] = True
@@ -280,7 +359,8 @@ def reconstruct(
     kp_landmark[1][qi] = ids
     kp_landmark[0][ti] = ids
     rec.frame_stats.append(
-        {"frame": 1, "n_kp": int(m1.sum()), "n_new_pts": len(ids)}
+        {"frame": 1, "n_kp": int(m1.sum()), "n_new_pts": len(ids),
+         "bootstrap_homography": bootstrap_used_h}
     )
     # Refine the two-view seed immediately: every later PnP localizes
     # against this map, and un-refined DLT triangulations carry enough

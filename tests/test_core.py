@@ -129,3 +129,27 @@ class TestContainers:
         arr = np.ones((3, 2), np.float32)
         p, m = pad_to_capacity(arr, 8)
         assert p.shape == (8, 2) and m.sum() == 3
+
+
+class TestDistortion:
+    def test_project_unproject_roundtrip(self):
+        import numpy as np
+        cam = Pinhole(fx=500.0, fy=480.0, cx=320.0, cy=240.0,
+                      k1=-0.25, k2=0.08)
+        rng = np.random.default_rng(0)
+        pts = np.column_stack([
+            rng.uniform(-1.0, 1.0, (200, 2)), rng.uniform(1.0, 5.0, 200),
+        ]).astype(np.float32)
+        pix = cam.project(jnp.asarray(pts))
+        rays = cam.unproject(pix)
+        xn_gt = pts[:, :2] / pts[:, 2:3]
+        err = np.abs(np.asarray(rays)[:, :2] - xn_gt).max()
+        assert err < 1e-5, f"undistortion fixed point off by {err}"
+
+    def test_zero_distortion_is_identity(self):
+        import numpy as np
+        cam = Pinhole(fx=500.0, fy=500.0, cx=320.0, cy=240.0)
+        pix = jnp.asarray(np.array([[10.0, 20.0], [600.0, 400.0]], np.float32))
+        rays = cam.unproject(pix)
+        expect = (np.asarray(pix) - [320.0, 240.0]) / 500.0
+        np.testing.assert_allclose(np.asarray(rays)[:, :2], expect, atol=1e-7)

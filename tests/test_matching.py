@@ -5,6 +5,7 @@ product path. The >=99% agreement target is BASELINE.json:5.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -168,3 +169,72 @@ class TestMatchBatch:
             )
             np.testing.assert_array_equal(np.asarray(mb.valid[i]), np.asarray(mi.valid))
             np.testing.assert_array_equal(np.asarray(mb.idx[i]), np.asarray(mi.idx))
+
+
+class TestGeometricVerification:
+    """verify_matches: appearance matches filtered by a robust two-view model."""
+
+    def _setup(self, rng, n=200, n_bad=40):
+        from synth import corresponding_descriptors
+        from fastmatch_tpu.core.containers import Keypoints
+
+        # General 3D scene projected to two pixel frames.
+        X = np.column_stack([rng.uniform(-1.5, 1.5, (n, 2)),
+                             rng.uniform(2.0, 6.0, n)])
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0.4, -0.1, 0.15], np.float32)
+        X2 = X @ R.T + t
+        px1 = (X[:, :2] / X[:, 2:3] * 500 + [320, 240]).astype(np.float32)
+        px2 = (X2[:, :2] / X2[:, 2:3] * 500 + [320, 240]).astype(np.float32)
+        # Descriptors: matched pairs agree; n_bad of them are appearance
+        # look-alikes placed at geometrically WRONG locations in image b.
+        # desc_b is shuffled (d_a[i] <-> d_b[gt[i]]), so image-b keypoint
+        # coordinates must be laid out in the same shuffled order.
+        d_a, d_b, gt = corresponding_descriptors(rng, n, noise=0.02)
+        px2[:n_bad] = rng.uniform(0, 640, (n_bad, 2)).astype(np.float32)
+        px2 = px2[np.argsort(gt)]
+
+        def kp(px):
+            c = px.shape[0]
+            return Keypoints(
+                xy=jnp.asarray(px), scale=jnp.ones(c), angle=jnp.zeros(c),
+                score=jnp.ones(c), mask=jnp.ones(c, bool))
+
+        return kp(px1), kp(px2), d_a, d_b, n_bad
+
+    def test_filters_geometric_outliers(self, rng):
+        from fastmatch_tpu.core.containers import descriptors_from_numpy
+        from fastmatch_tpu.matching.matcher import match_pair_jnp
+        from fastmatch_tpu.matching.verify import verify_matches
+
+        kp_a, kp_b, d_a, d_b, n_bad = self._setup(rng)
+        n = d_a.shape[0]
+        da = descriptors_from_numpy(d_a, n)
+        db = descriptors_from_numpy(d_b, n)
+        m = match_pair_jnp(da, db)
+        # Appearance matching keeps the look-alikes...
+        assert int(np.asarray(m.valid)[:n_bad].sum()) > 0.5 * n_bad
+        vr = verify_matches(jax.random.PRNGKey(0), kp_a, kp_b, m,
+                            model="fundamental", thr_px=2.0)
+        assert bool(vr.ok)
+        v = np.asarray(vr.matches.valid)
+        # ...geometric verification removes them and keeps the good ones.
+        # (F constrains a match to an epipolar LINE, so a few random
+        # locations legitimately land within thr of it — allow ~15%.)
+        assert v[:n_bad].sum() <= 0.15 * n_bad + 1
+        assert v[n_bad:].sum() >= 0.9 * np.asarray(m.valid)[n_bad:].sum()
+
+    def test_unverifiable_passes_through(self, rng):
+        from fastmatch_tpu.core.containers import descriptors_from_numpy
+        from fastmatch_tpu.matching.matcher import match_pair_jnp
+        from fastmatch_tpu.matching.verify import verify_matches
+
+        kp_a, kp_b, d_a, d_b, _ = self._setup(rng, n=20, n_bad=0)
+        da = descriptors_from_numpy(d_a, 20)
+        db = descriptors_from_numpy(d_b, 20)
+        m = match_pair_jnp(da, db)
+        vr = verify_matches(jax.random.PRNGKey(0), kp_a, kp_b, m,
+                            model="fundamental", min_inliers=50)
+        assert not bool(vr.ok)
+        np.testing.assert_array_equal(np.asarray(vr.matches.valid),
+                                      np.asarray(m.valid))
