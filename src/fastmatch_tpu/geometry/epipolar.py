@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from fastmatch_tpu.core.batched_linalg import smallest_eigvecs, svd3
 from fastmatch_tpu.core.lie import hat
 
 
@@ -31,13 +32,14 @@ def eight_point_essential(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | Non
     A = (h2[..., :, None] * h1[..., None, :]).reshape(*x1.shape[:-1], 9)
     if w is not None:
         A = A * w[..., None]
-    # Null vector of A via eigh of A^T A (9x9 — cheap, batched, TPU-friendly).
+    # Null vector of A^T A (9x9). Fixed-iteration inverse iteration, NOT
+    # jnp.linalg.eigh: XLA's eigh converges data-dependently and costs
+    # ~1000x more on these ill-conditioned DLT spectra (batched_linalg.py).
     ATA = jnp.einsum("...pi,...pj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(ATA)
-    e = vecs[..., :, 0]  # smallest eigenvalue
+    e = smallest_eigvecs(ATA)[..., :, 0]
     E = e.reshape(*e.shape[:-1], 3, 3)
     # Project onto the essential manifold: singular values -> (1, 1, 0).
-    U, S, Vt = jnp.linalg.svd(E)
+    U, S, Vt = svd3(E)
     S_proj = jnp.stack(
         [jnp.ones_like(S[..., 0]), jnp.ones_like(S[..., 0]), jnp.zeros_like(S[..., 0])],
         axis=-1,
@@ -63,7 +65,7 @@ def decompose_essential(E: jnp.ndarray):
 
     Returns (Rs (..., 4, 3, 3), ts (..., 4, 3)); |t| = 1.
     """
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = svd3(E)
     # Enforce proper rotations.
     detU = jnp.linalg.det(U)[..., None, None]
     detV = jnp.linalg.det(Vt)[..., None, None]

@@ -28,6 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from fastmatch_tpu.core.batched_linalg import smallest_eigvecs, svd3
 from fastmatch_tpu.geometry.epipolar import _homog, sampson_error
 from fastmatch_tpu.geometry.homography import _normalize_points
 
@@ -54,12 +55,11 @@ def eight_point_fundamental(x1: jnp.ndarray, x2: jnp.ndarray,
     x2n, T2 = _normalize_points(x2, w)
     A = _constraint_rows(x1n, x2n, w)
     ATA = jnp.einsum("...pi,...pj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(ATA)
-    f = vecs[..., :, 0]
+    f = smallest_eigvecs(ATA)[..., :, 0]
     Fn = f.reshape(*f.shape[:-1], 3, 3)
     # Rank-2 projection in the normalized frame (where it is least-squares
     # optimal), then denormalize: F = T2^T Fn T1.
-    U, S, Vt = jnp.linalg.svd(Fn)
+    U, S, Vt = svd3(Fn)
     S2 = S.at[..., 2].set(0.0)
     Fn = U @ (S2[..., :, None] * Vt)
     F = jnp.swapaxes(T2, -2, -1) @ Fn @ T1
@@ -152,7 +152,7 @@ def seven_point_fundamental(x1: jnp.ndarray, x2: jnp.ndarray):
     x2n, T2 = _normalize_points(x2)
     A = _constraint_rows(x1n, x2n)
     ATA = jnp.einsum("...pi,...pj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(ATA)
+    vecs = smallest_eigvecs(ATA, k=2)  # orthonormal null-space basis
     F1 = vecs[..., :, 0].reshape(*x1.shape[:-2], 3, 3)
     F2 = vecs[..., :, 1].reshape(*x1.shape[:-2], 3, 3)
 

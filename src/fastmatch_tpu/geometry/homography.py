@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from fastmatch_tpu.core.batched_linalg import smallest_eigvecs, svd3
 from fastmatch_tpu.geometry.epipolar import _homog, triangulate_midpoint
 
 
@@ -97,8 +98,9 @@ def dlt_homography(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = Non
         ww = jnp.concatenate([w, w], axis=-1)
         A = A * ww[..., None]
     ATA = jnp.einsum("...pi,...pj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(ATA)
-    hvec = vecs[..., :, 0]  # smallest eigenvalue -> null direction
+    # Fixed-iteration null-vector extraction (batched_linalg.py) — XLA eigh
+    # is data-dependently slow on DLT spectra.
+    hvec = smallest_eigvecs(ATA)[..., :, 0]
     Hn = hvec.reshape(*hvec.shape[:-1], 3, 3)
     # Denormalize: H = T2^-1 Hn T1 (adjugate: scale-free inverse).
     H = _adjugate3(T2) @ Hn @ T1
@@ -225,7 +227,7 @@ def decompose_homography(H: jnp.ndarray):
     candidate to t ~ 0, R = H up to scale — still correct, just plane-normal
     ambiguous.
     """
-    U, S, Vt = jnp.linalg.svd(H)
+    U, S, Vt = svd3(H)
     # Work in the frame where H^T H is diagonal; fold reflections into s.
     s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     s1 = S[..., 0] / S[..., 1]

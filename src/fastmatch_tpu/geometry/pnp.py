@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from fastmatch_tpu.core.batched_linalg import polar3, smallest_eigvecs
 from fastmatch_tpu.core.lie import SE3, hat
 
 
@@ -39,8 +40,7 @@ def pnp_dlt(X: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray | None = None):
         r2 = r2 * w[..., None]
     A = jnp.concatenate([r1, r2], axis=-2)  # (..., 2P, 12)
     ATA = jnp.einsum("...pi,...pj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(ATA)
-    p = vecs[..., :, 0]
+    p = smallest_eigvecs(ATA)[..., :, 0]
     P34 = p.reshape(*p.shape[:-1], 3, 4)
     M = P34[..., :, :3]
     # Fix scale and sign: depths of the (weighted) centroid should be +.
@@ -60,10 +60,7 @@ def pnp_dlt(X: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray | None = None):
     P34 = P34 * jnp.where(z_c < 0, -1.0, 1.0)[..., None, None]
     M = P34[..., :, :3]
     # Orthogonalize onto SO(3).
-    U, _, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = U @ (D[..., :, None] * Vt)
+    R = polar3(M)
     t = P34[..., :, 3]
     return SE3(R, t)
 

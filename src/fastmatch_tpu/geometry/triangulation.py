@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from fastmatch_tpu.core.batched_linalg import smallest_eigvecs
+
 
 def triangulate_dlt(R, t, x, mask=None, eps: float = 1e-12):
     """Multi-view DLT: triangulate one 3D point per correspondence track.
@@ -33,8 +35,10 @@ def triangulate_dlt(R, t, x, mask=None, eps: float = 1e-12):
         r2 = r2 * w
     A = jnp.concatenate([r1, r2], axis=0)  # (2V, P, 4)
     ATA = jnp.einsum("vpi,vpj->pij", A, A)  # (P, 4, 4)
-    _, vecs = jnp.linalg.eigh(ATA)
-    h = vecs[..., :, 0]  # (P, 4)
+    # Fixed-iteration null vector (batched_linalg.py): P here is the full
+    # landmark capacity (16k+ in BA-scale maps) and XLA's eigh cost is
+    # data-dependent on exactly these spectra.
+    h = smallest_eigvecs(ATA)[..., :, 0]  # (P, 4)
     wcomp = h[..., 3]
     ok = jnp.abs(wcomp) > eps
     pts = h[..., :3] / jnp.where(ok, wcomp, 1.0)[..., None]

@@ -153,3 +153,59 @@ class TestDistortion:
         rays = cam.unproject(pix)
         expect = (np.asarray(pix) - [320.0, 240.0]) / 500.0
         np.testing.assert_allclose(np.asarray(rays)[:, :2], expect, atol=1e-7)
+
+
+class TestBatchedLinalg:
+    """Fixed-iteration factorizations vs LAPACK references (test oracle)."""
+
+    def test_svd3_reconstruction(self, rng):
+        from fastmatch_tpu.core.batched_linalg import svd3
+        M = rng.standard_normal((300, 3, 3)).astype(np.float32)
+        M[100:200] = M[100:200] @ np.diag([1.0, 1e-3, 1e-6]).astype(np.float32)
+        U, S, Vt = svd3(jnp.asarray(M))
+        recon = np.asarray(U) * np.asarray(S)[..., None, :] @ np.asarray(Vt)
+        assert np.abs(recon - M).max() < 1e-5
+        s_ref = np.linalg.svd(M, compute_uv=False)
+        assert np.abs(np.asarray(S) - s_ref).max() < 1e-5
+        orth = np.asarray(U) @ np.swapaxes(np.asarray(U), -1, -2) - np.eye(3)
+        assert np.abs(orth).max() < 2e-6
+
+    def test_svd3_rank_deficient_u_completion(self, rng):
+        from fastmatch_tpu.core.batched_linalg import svd3
+        u, _, vt = np.linalg.svd(
+            rng.standard_normal((50, 3, 3)).astype(np.float32))
+        E = u @ (np.array([1.0, 1.0, 0.0], np.float32)[None, :, None] * vt)
+        U, S, Vt = svd3(jnp.asarray(E))
+        assert np.abs(np.asarray(S)[:, 2]).max() < 1e-6
+        orth = np.asarray(U) @ np.swapaxes(np.asarray(U), -1, -2) - np.eye(3)
+        assert np.abs(orth).max() < 2e-6, "U must stay a full basis at rank 2"
+
+    def test_smallest_eigvec_matches_eigh(self, rng):
+        from fastmatch_tpu.core.batched_linalg import smallest_eigvecs
+        A = rng.standard_normal((500, 8, 9)).astype(np.float32)
+        A[:, :, 8] = 1.0  # DLT-style homogeneous column -> spread spectrum
+        ATA = np.einsum("kpi,kpj->kij", A, A)
+        _, vecs = np.linalg.eigh(ATA)
+        V = np.asarray(smallest_eigvecs(jnp.asarray(ATA)))
+        dots = np.abs(np.einsum("ki,ki->k", V[..., 0], vecs[..., 0]))
+        assert dots.min() > 0.999
+
+    def test_smallest_eigvecs_k2_nullspace(self, rng):
+        from fastmatch_tpu.core.batched_linalg import smallest_eigvecs
+        # Exact 2-dim nullspace (7-point structure): A is (7, 9).
+        A = rng.standard_normal((200, 7, 9)).astype(np.float32)
+        ATA = jnp.asarray(np.einsum("kpi,kpj->kij", A, A))
+        V = np.asarray(smallest_eigvecs(ATA, k=2))
+        # Residual: both columns must be annihilated by A.
+        res = np.abs(np.einsum("kpi,kij->kpj", A, V)).max()
+        assert res < 1e-3
+        # Orthonormal columns.
+        g = np.swapaxes(V, -1, -2) @ V - np.eye(2)
+        assert np.abs(g).max() < 1e-5
+
+    def test_polar3(self, rng):
+        from fastmatch_tpu.core.batched_linalg import polar3
+        M = rng.standard_normal((100, 3, 3)).astype(np.float32)
+        R = np.asarray(polar3(jnp.asarray(M)))
+        assert np.abs(np.linalg.det(R) - 1).max() < 1e-5
+        assert np.abs(R @ np.swapaxes(R, -1, -2) - np.eye(3)).max() < 2e-6
