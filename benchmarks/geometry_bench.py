@@ -49,18 +49,26 @@ def _scene(rng, planar: bool, P: int = 512):
     return jnp.asarray(x1), jnp.asarray(x2), X
 
 
+def _readback(out):
+    """Force a real device round-trip. block_until_ready alone is NOT a
+    reliable fence through the axon relay (bench.py learned this first):
+    without reading a byte back, timings can reflect enqueue cost only."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
 def _time(fn, n_calls: int = 20, reps: int = 3) -> float:
-    """Seconds per call: enqueue n_calls, sync once, best of reps."""
-    fn()  # compile
+    """Seconds per call: enqueue n_calls, sync once (readback), best of reps."""
+    _readback(fn())  # compile + settle
     for _ in range(3):
-        jax.block_until_ready(fn())  # warm-up (first-loop relay hiccups)
+        _readback(fn())  # warm-up (first-loop relay hiccups)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = None
         for _ in range(n_calls):
             out = fn()
-        jax.block_until_ready(out)
+        _readback(out)
         best = min(best, (time.perf_counter() - t0) / n_calls)
     return best
 
@@ -90,6 +98,12 @@ def main():
                 key, h1, h2, mask, thr=2 * thr, n_hyp=n_hyp)),
             ("fundamental", lambda: ransac_fundamental(
                 key, px1, px2, mask, thr=4.0, n_hyp=n_hyp)),
+            # 5pt at small K only: its program is large (grid scan + RREF +
+            # Newton) and each K is a fresh ~minutes-scale remote compile;
+            # K is also exactly what the 5-pt sample size makes cheap.
+            *([("essential-5pt", lambda: ransac_essential(
+                key, x1, x2, mask, thr=thr, n_hyp=n_hyp, solver="5pt"))]
+              if n_hyp <= 512 else []),
             ("pnp", lambda: ransac_pnp(
                 key, jnp.asarray(X.astype(np.float32)), x1, mask,
                 thr=thr, n_hyp=n_hyp)),

@@ -30,7 +30,7 @@ import numpy as np
 # Deterministic start subspace for the inverse iteration (seeded once at
 # import; any fixed full-rank slab works — it only needs a nonzero
 # component along the target eigenvectors).
-_INIT = np.random.default_rng(12345).standard_normal((32, 3)).astype(np.float32)
+_INIT = np.random.default_rng(12345).standard_normal((32, 8)).astype(np.float32)
 
 
 def smallest_eigvecs(M: jnp.ndarray, k: int = 1, iters: int = 6,
@@ -99,43 +99,45 @@ def smallest_eigvecs(M: jnp.ndarray, k: int = 1, iters: int = 6,
             [jnp.where(first[..., None], v1, v2),
              jnp.where(first[..., None], v2, v1)], axis=-1)
     else:
-        # ks = 3 (k = 2): Jacobi-diagonalize the 3x3 H with two unrolled
-        # sweeps of the same closed-form rotation, then sort columns.
-        Q = jnp.broadcast_to(jnp.eye(3, dtype=M.dtype), H.shape)
+        # ks >= 3: Jacobi-diagonalize the small ks x ks H with unrolled
+        # cyclic sweeps, then sort columns. Rotations are applied as Givens
+        # MATRIX MULTIPLIES, never .at[] column writes — eager-mode .at[]
+        # update chains have produced buffer-aliasing corruption on the CPU
+        # backend (found via the 5-point solver; see geometry/five_point.py).
+        Q = jnp.broadcast_to(jnp.eye(ks, dtype=M.dtype), H.shape)
+        pairs = [(p, q) for p in range(ks) for q in range(p + 1, ks)]
         for _ in range(3):
-            for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            for (p, q) in pairs:
                 hpp = H[..., p, p]
                 hqq = H[..., q, q]
                 hpq = H[..., p, q]
                 th = 0.5 * jnp.arctan2(2.0 * hpq, hpp - hqq)
-                c, s = jnp.cos(th)[..., None], jnp.sin(th)[..., None]
-                # Apply Givens on the right: columns p, q.
-                Hp = c * H[..., :, p] + s * H[..., :, q]
-                Hq = -s * H[..., :, p] + c * H[..., :, q]
-                H = H.at[..., :, p].set(Hp).at[..., :, q].set(Hq)
-                # ...and on the left (rows), keeping H symmetric.
-                Hp = c * H[..., p, :] + s * H[..., q, :]
-                Hq = -s * H[..., p, :] + c * H[..., q, :]
-                H = H.at[..., p, :].set(Hp).at[..., q, :].set(Hq)
-                Qp = c * Q[..., :, p] + s * Q[..., :, q]
-                Qq = -s * Q[..., :, p] + c * Q[..., :, q]
-                Q = Q.at[..., :, p].set(Qp).at[..., :, q].set(Qq)
+                G = _givens(ks, p, q, jnp.cos(th), jnp.sin(th), M.dtype)
+                H = jnp.swapaxes(G, -2, -1) @ H @ G
+                Q = Q @ G
         Vr = V @ Q
-        ev = jnp.stack([H[..., i, i] for i in range(3)], axis=-1)
-        # Sorting network over 3 (value, column) pairs, ascending.
-        def swap(ev, Vr, i, j):
-            do = ev[..., i] > ev[..., j]
-            ei = jnp.where(do, ev[..., j], ev[..., i])
-            ej = jnp.where(do, ev[..., i], ev[..., j])
-            ev = ev.at[..., i].set(ei).at[..., j].set(ej)
-            ci = jnp.where(do[..., None], Vr[..., :, j], Vr[..., :, i])
-            cj = jnp.where(do[..., None], Vr[..., :, i], Vr[..., :, j])
-            Vr = Vr.at[..., :, i].set(ci).at[..., :, j].set(cj)
-            return ev, Vr
-        for (i, j) in ((0, 1), (1, 2), (0, 1)):
-            ev, Vr = swap(ev, Vr, i, j)
-        Vout = Vr
+        ev = jnp.stack([H[..., i, i] for i in range(ks)], axis=-1)
+        order = jnp.argsort(ev, axis=-1)  # ascending
+        Vout = jnp.take_along_axis(Vr, order[..., None, :], axis=-1)
     return Vout[..., :, :k]
+
+
+def _givens(n, p, q, c, s, dtype):
+    """Batched (..., n, n) Givens rotation: identity except
+    [p,p]=[q,q]=c, [p,q]=-s, [q,p]=s. Built from one-hot constants — no
+    .at[] scatter (see aliasing note in smallest_eigvecs)."""
+    ep = np.zeros((n,), np.float32)
+    eq = np.zeros((n,), np.float32)
+    ep[p] = 1.0
+    eq[q] = 1.0
+    Epp = jnp.asarray(np.outer(ep, ep), dtype)
+    Eqq = jnp.asarray(np.outer(eq, eq), dtype)
+    Epq = jnp.asarray(np.outer(ep, eq), dtype)
+    Eqp = jnp.asarray(np.outer(eq, ep), dtype)
+    eye = jnp.asarray(np.eye(n), dtype)
+    c1 = (c - 1.0)[..., None, None]
+    sb = s[..., None, None]
+    return eye + c1 * (Epp + Eqq) - sb * Epq + sb * Eqp
 
 
 def _orth_complement(u: jnp.ndarray) -> jnp.ndarray:
@@ -158,6 +160,9 @@ def svd3(M: jnp.ndarray, sweeps: int = 4):
     orthogonal basis (the property essential/homography decompositions
     rely on).
     """
+    # Rotations as Givens matrix multiplies and the sort as a gather —
+    # NO .at[] updates: eager-mode .at[] chains have produced
+    # buffer-aliasing corruption on the CPU backend (see smallest_eigvecs).
     B = M
     V = jnp.broadcast_to(jnp.eye(3, dtype=M.dtype), M.shape).astype(M.dtype)
     for _ in range(sweeps):
@@ -168,32 +173,16 @@ def svd3(M: jnp.ndarray, sweeps: int = 4):
             aqq = jnp.sum(bq * bq, -1)
             apq = jnp.sum(bp * bq, -1)
             theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
-            c = jnp.cos(theta)[..., None]
-            s = jnp.sin(theta)[..., None]
-            B = B.at[..., :, p].set(c * bp + s * bq)
-            B = B.at[..., :, q].set(-s * bp + c * bq)
-            vp = V[..., :, p]
-            vq = V[..., :, q]
-            V = V.at[..., :, p].set(c * vp + s * vq)
-            V = V.at[..., :, q].set(-s * vp + c * vq)
+            G = _givens(3, p, q, jnp.cos(theta), jnp.sin(theta), M.dtype)
+            B = B @ G
+            V = V @ G
     S = jnp.linalg.norm(B, axis=-2)  # (..., 3) column norms
 
-    # Descending sort (3-element network), columns of B and V follow.
-    def swap(S, B, V, i, j):
-        do = S[..., i] < S[..., j]
-        si = jnp.where(do, S[..., j], S[..., i])
-        sj = jnp.where(do, S[..., i], S[..., j])
-        S = S.at[..., i].set(si).at[..., j].set(sj)
-        bi = jnp.where(do[..., None], B[..., :, j], B[..., :, i])
-        bj = jnp.where(do[..., None], B[..., :, i], B[..., :, j])
-        B = B.at[..., :, i].set(bi).at[..., :, j].set(bj)
-        vi = jnp.where(do[..., None], V[..., :, j], V[..., :, i])
-        vj = jnp.where(do[..., None], V[..., :, i], V[..., :, j])
-        V = V.at[..., :, i].set(vi).at[..., :, j].set(vj)
-        return S, B, V
-
-    for (i, j) in ((0, 1), (1, 2), (0, 1)):
-        S, B, V = swap(S, B, V, i, j)
+    # Descending order; columns of B and V follow.
+    order = jnp.argsort(-S, axis=-1)
+    S = jnp.take_along_axis(S, order, axis=-1)
+    B = jnp.take_along_axis(B, order[..., None, :], axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
 
     eps = 1e-12 + 1e-6 * S[..., 0:1]
     u0 = B[..., :, 0] / jnp.maximum(S[..., 0:1], 1e-20)

@@ -3,6 +3,7 @@ from fastmatch_tpu.geometry.epipolar import (
     eight_point_essential,
     sampson_error,
 )
+from fastmatch_tpu.geometry.five_point import five_point_essential
 from fastmatch_tpu.geometry.fundamental import (
     FundamentalResult,
     eight_point_fundamental,
@@ -34,6 +35,7 @@ __all__ = [
     "select_two_view_model",
     "HomographyResult",
     "TwoViewModel",
+    "five_point_essential",
     "eight_point_fundamental",
     "seven_point_fundamental",
     "ransac_fundamental",

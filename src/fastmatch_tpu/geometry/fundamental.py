@@ -60,7 +60,7 @@ def eight_point_fundamental(x1: jnp.ndarray, x2: jnp.ndarray,
     # Rank-2 projection in the normalized frame (where it is least-squares
     # optimal), then denormalize: F = T2^T Fn T1.
     U, S, Vt = svd3(Fn)
-    S2 = S.at[..., 2].set(0.0)
+    S2 = S * jnp.asarray([1.0, 1.0, 0.0])
     Fn = U @ (S2[..., :, None] * Vt)
     F = jnp.swapaxes(T2, -2, -1) @ Fn @ T1
     nrm = jnp.linalg.norm(F, axis=(-2, -1), keepdims=True)

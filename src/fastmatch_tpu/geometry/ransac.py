@@ -46,7 +46,7 @@ def _sample_minimal_sets(key, mask, n_hyp, sample_size):
     return idx
 
 
-@partial(jax.jit, static_argnames=("n_hyp",))
+@partial(jax.jit, static_argnames=("n_hyp", "solver"))
 def ransac_essential(
     key: jax.Array,
     x1: jnp.ndarray,
@@ -55,27 +55,42 @@ def ransac_essential(
     thr: float = 1e-4,
     n_hyp: int = 512,
     min_inliers: int = 15,
+    solver: str = "8pt",
 ) -> RansacResult:
     """Estimate relative pose from normalized correspondences.
 
     x1, x2: (P, 2) normalized coords; mask: (P,) validity. ``thr`` is the
     squared Sampson-error threshold in normalized units ((px_err/f)^2-ish).
-    Fewer candidates than the 8-point minimal sample returns ok=False
-    instead of crashing (tracking code treats that as "estimation failed").
+    Fewer candidates than the minimal sample returns ok=False instead of
+    crashing (tracking code treats that as "estimation failed").
+
+    ``solver``: "8pt" (default) or "5pt" (geometry/five_point.py — the true
+    minimal sample: K samples each yield up to 12 candidate E's, scored as
+    one 12K batch; use it when the inlier ratio is low, since K for a
+    target confidence scales like w^-5 instead of w^-8).
     """
     p_count = mask.shape[0]
-    if p_count < 8:
+    min_sample = 5 if solver == "5pt" else 8
+    if p_count < min_sample:
         return RansacResult(
             R=jnp.eye(3), t=jnp.zeros(3), E=jnp.zeros((3, 3)),
             inliers=jnp.zeros(p_count, bool), n_inliers=jnp.int32(0),
             ok=jnp.bool_(False),
         )
-    idx = _sample_minimal_sets(key, mask, n_hyp, 8)  # (K, 8)
-    s1 = x1[idx]  # (K, 8, 2)
-    s2 = x2[idx]
-    Es = eight_point_essential(s1, s2)  # (K, 3, 3)
-    errs = sampson_error(Es, x1[None], x2[None])  # (K, P)
-    inl = (errs < thr) & mask[None, :]
+    if solver == "5pt":
+        from fastmatch_tpu.geometry.five_point import five_point_essential
+
+        idx = _sample_minimal_sets(key, mask, n_hyp, 5)  # (K, 5)
+        Es, cand_ok = five_point_essential(x1[idx], x2[idx])  # (K, 12, 3, 3)
+        Es = Es.reshape(-1, 3, 3)
+        cand_ok = cand_ok.reshape(-1)
+        errs = sampson_error(Es, x1[None], x2[None])  # (12K, P)
+        inl = (errs < thr) & mask[None, :] & cand_ok[:, None]
+    else:
+        idx = _sample_minimal_sets(key, mask, n_hyp, 8)  # (K, 8)
+        Es = eight_point_essential(x1[idx], x2[idx])  # (K, 3, 3)
+        errs = sampson_error(Es, x1[None], x2[None])  # (K, P)
+        inl = (errs < thr) & mask[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
     E0 = Es[best]

@@ -422,3 +422,72 @@ class TestFundamental:
         ang = np.degrees(np.abs(np.asarray(SO3.log(
             jnp.asarray(Rp @ Rg[1].T)))).max())
         assert ang < 1.0, f"picked the wrong interpretation ({ang:.1f} deg)"
+
+
+class TestFivePoint:
+    """Minimal 5-point essential solver (geometry/five_point.py)."""
+
+    @staticmethod
+    def _minimal_problem(rng):
+        X = np.column_stack([rng.uniform(-1.5, 1.5, (5, 2)),
+                             rng.uniform(2.0, 6.0, 5)])
+        R = np.asarray(SO3.exp(jnp.asarray(rng.standard_normal(3) * 0.2,
+                                           jnp.float32)))
+        t = rng.standard_normal(3).astype(np.float32)
+        t /= np.linalg.norm(t)
+        X2 = X @ R.T + t
+        x1 = (X[:, :2] / X[:, 2:3]).astype(np.float32)
+        x2 = (X2[:, :2] / X2[:, 2:3]).astype(np.float32)
+        E_gt = np.array(essential_from_pose(jnp.asarray(R), jnp.asarray(t)))
+        return x1, x2, E_gt / np.linalg.norm(E_gt)
+
+    def test_gt_among_candidates(self, rng):
+        from fastmatch_tpu.geometry.five_point import five_point_essential
+        hits = 0
+        for _ in range(10):
+            x1, x2, E_gt = self._minimal_problem(rng)
+            Es, valid = five_point_essential(jnp.asarray(x1), jnp.asarray(x2))
+            Es, valid = np.array(Es), np.array(valid)
+            errs = [min(np.abs(Es[i] - E_gt).max(), np.abs(Es[i] + E_gt).max())
+                    for i in range(12) if valid[i]]
+            if errs and min(errs) < 1e-3:
+                hits += 1
+        # The tan-grid root scan can miss closely-spaced root pairs on a
+        # given sample; RANSAC tolerates that. Require a high hit rate.
+        assert hits >= 7, f"only {hits}/10 minimal problems recovered GT"
+
+    def test_candidates_satisfy_correspondences(self, rng):
+        from fastmatch_tpu.geometry.five_point import five_point_essential
+        x1, x2, _ = self._minimal_problem(rng)
+        Es, valid = five_point_essential(jnp.asarray(x1), jnp.asarray(x2))
+        errs = np.asarray(sampson_error(Es, jnp.asarray(x1)[None],
+                                        jnp.asarray(x2)[None]))
+        v = np.array(valid)
+        assert v.sum() >= 1
+        # Every valid candidate is an exact solution of the minimal problem.
+        assert errs[v].max() < 1e-6
+
+    def test_ransac_5pt_heavy_outliers(self, rng):
+        from fastmatch_tpu.geometry.ransac import ransac_essential
+        P = 300
+        X = np.column_stack([rng.uniform(-1.5, 1.5, (P, 2)),
+                             rng.uniform(2.0, 6.0, P)])
+        R = np.asarray(SO3.exp(jnp.asarray(rng.standard_normal(3) * 0.08,
+                                           jnp.float32)))
+        t = np.array([0.4, -0.1, 0.15], np.float32)
+        X2 = X @ R.T + t
+        x1 = (X[:, :2] / X[:, 2:3]).astype(np.float32)
+        x2 = (X2[:, :2] / X2[:, 2:3]).astype(np.float32)
+        x1 += rng.standard_normal(x1.shape).astype(np.float32) * 5e-4
+        x2 += rng.standard_normal(x2.shape).astype(np.float32) * 5e-4
+        bad = rng.random(P) < 0.6
+        x2[bad] = rng.uniform(-1, 1, (int(bad.sum()), 2)).astype(np.float32)
+        res = ransac_essential(jax.random.PRNGKey(0), jnp.asarray(x1),
+                               jnp.asarray(x2), jnp.ones(P, bool),
+                               n_hyp=256, solver="5pt")
+        assert bool(res.ok)
+        dR = np.asarray(res.R) @ R.T
+        ang = np.degrees(np.abs(np.asarray(SO3.log(jnp.asarray(dR)))).max())
+        assert ang < 1.5, f"rotation error {ang:.2f} deg"
+        inl = np.asarray(res.inliers)
+        assert (inl & bad).sum() <= 0.05 * max(inl.sum(), 1)
