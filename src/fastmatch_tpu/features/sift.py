@@ -213,6 +213,36 @@ def _detect_octave(dog: jnp.ndarray, cfg: SIFTConfig, k_oct: int):
     return xy, (lvl + 1).astype(jnp.int32), off_sel, val_sel, mask, (yy, xx)
 
 
+def _extract_patches(stack, l, y, x, patch: int):
+    """(K,) level/row/col starts -> (K, patch, patch) patches.
+
+    On TPU this routes through the Pallas VMEM-resident gather
+    (kernels/patch_gather.py): the vmapped ``dynamic_slice`` lowers to an
+    XLA HBM gather at the measured ~500 MB/s random-access floor and was
+    the single largest cost of detect_and_describe (5.6 ms of the 17.5 ms
+    frame for orientation alone). Elsewhere (CPU tests) the dynamic_slice
+    path is used directly — both clamp starts identically.
+    """
+    K = l.shape[0]
+    L, H, W = stack.shape
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and K % 128 == 0
+        and patch <= 128
+        and patch + 16 <= H  # aligned slab must fit the stack height
+        and L <= 8 and H <= 8192 and W <= 4096
+    )
+    if use_kernel:
+        from fastmatch_tpu.kernels.patch_gather import gather_patches
+
+        return gather_patches(stack, jnp.stack([l, y, x], axis=1), patch)
+
+    def one(li, yi, xi):
+        return jax.lax.dynamic_slice(stack, (li, yi, xi), (1, patch, patch))[0]
+
+    return jax.vmap(one)(l, y, x)
+
+
 def _orientation(gauss: jnp.ndarray, yx, lvl, sigma_rel, cfg: SIFTConfig):
     """Dominant orientation per keypoint from a (2R+1)^2 patch.
 
@@ -227,10 +257,10 @@ def _orientation(gauss: jnp.ndarray, yx, lvl, sigma_rel, cfg: SIFTConfig):
     dy, dx = jnp.arange(-R, R + 1), jnp.arange(-R, R + 1)
     oy, ox = jnp.meshgrid(dy, dx, indexing="ij")
 
-    def one(y, x, l, sig):
-        img = jax.lax.dynamic_slice(
-            padded, (l, y + 1, x + 1), (1, P + 2, P + 2)
-        )[0]  # +1 margin for central differences
+    patches = _extract_patches(padded, lvl, yx[0] + 1, yx[1] + 1, P + 2)
+
+    def one(img, sig):
+        # img: (P+2, P+2) with +1 margin for central differences
         gx = 0.5 * (img[1:-1, 2:] - img[1:-1, :-2])
         gy = 0.5 * (img[2:, 1:-1] - img[:-2, 1:-1])
         mag = jnp.sqrt(gx * gx + gy * gy)
@@ -258,7 +288,7 @@ def _orientation(gauss: jnp.ndarray, yx, lvl, sigma_rel, cfg: SIFTConfig):
         bin_pos = (pk.astype(jnp.float32) + interp) % cfg.ori_bins
         return bin_pos / cfg.ori_bins * 2 * jnp.pi - jnp.pi
 
-    return jax.vmap(one)(yx[0], yx[1], lvl, sigma_rel)
+    return jax.vmap(one)(patches, sigma_rel)
 
 
 def _descriptor_weights(cfg: SIFTConfig) -> np.ndarray:
@@ -312,7 +342,13 @@ def _descriptors(gauss, xy, lvl, angle, sigma_rel, cfg: SIFTConfig):
     P = min(P + (-P) % 8, Hp, Wp)  # lane-friendly; tiny octaves cap at image
     pr = jnp.arange(P, dtype=jnp.float32)
 
-    def one(xy1, l, th, sig):
+    oxs = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) + pad - P // 2,
+                   0, Wp - P)
+    oys = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) + pad - P // 2,
+                   0, Hp - P)
+    patches = _extract_patches(padded, lvl, oys, oxs, P)
+
+    def one(xy1, th, sig, patch, ox, oy):
         # hist_width: pixels per cell (cv2's 3*sigma).
         hw = 3.0 * sig
         ct, st = jnp.cos(th), jnp.sin(th)
@@ -321,9 +357,6 @@ def _descriptors(gauss, xy, lvl, angle, sigma_rel, cfg: SIFTConfig):
         sy = xy1[1] + (st * vv + ct * uu) * hw
         sxc = jnp.clip(sx, 0.0, W - 1.0) + pad
         syc = jnp.clip(sy, 0.0, H - 1.0) + pad
-        ox = jnp.clip(jnp.round(xy1[0]).astype(jnp.int32) + pad - P // 2, 0, Wp - P)
-        oy = jnp.clip(jnp.round(xy1[1]).astype(jnp.int32) + pad - P // 2, 0, Hp - P)
-        patch = jax.lax.dynamic_slice(padded, (l, oy, ox), (1, P, P))[0]
         sxr = jnp.clip((sxc - ox).reshape(-1), 0.5, P - 1.5)  # (n*n,)
         syr = jnp.clip((syc - oy).reshape(-1), 0.5, P - 1.5)
 
@@ -355,7 +388,7 @@ def _descriptors(gauss, xy, lvl, angle, sigma_rel, cfg: SIFTConfig):
         v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
         return v
 
-    return jax.vmap(one)(xy, lvl, angle, sigma_rel)
+    return jax.vmap(one)(xy, angle, sigma_rel, patches, oxs, oys)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

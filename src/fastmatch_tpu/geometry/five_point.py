@@ -42,7 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fastmatch_tpu.core.batched_linalg import smallest_eigvecs, svd3
+from fastmatch_tpu.core.batched_linalg import smallest_eigvecs
 from fastmatch_tpu.geometry.epipolar import _homog
 
 # ---------------------------------------------------------------------------

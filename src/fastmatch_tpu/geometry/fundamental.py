@@ -224,12 +224,16 @@ def ransac_fundamental(
     F0 = Fs[best]
     inl0 = inl[best]
 
-    F1r = eight_point_fundamental(x1, x2, w=inl0.astype(jnp.float32))
-    err1 = sampson_error(F1r, x1, x2)
-    inl1 = (err1 < thr) & mask
-    use_refit = jnp.sum(inl1) >= jnp.sum(inl0)
-    F = jnp.where(use_refit, F1r, F0)
-    inliers = jnp.where(use_refit, inl1, inl0)
+    # Iterated refit (see ransac.py): converge to the inlier LSQ fit
+    # instead of inheriting minimal-sample luck.
+    F, inliers = F0, inl0
+    for _ in range(3):
+        F1r = eight_point_fundamental(x1, x2, w=inliers.astype(jnp.float32))
+        err1 = sampson_error(F1r, x1, x2)
+        inl1 = (err1 < thr) & mask
+        better = jnp.sum(inl1) >= jnp.sum(inliers)
+        F = jnp.where(better, F1r, F)
+        inliers = jnp.where(better, inl1, inliers)
     n_in = jnp.sum(inliers)
     return FundamentalResult(
         F=F, inliers=inliers, n_inliers=n_in, ok=n_in >= min_inliers,

@@ -181,14 +181,18 @@ def ransac_homography(
     H0 = Hs[best]
     inl0 = inl[best]
 
-    # Weighted refit on the winning inlier set, keep whichever scores better.
-    H1 = dlt_homography(x1, x2, w=inl0.astype(jnp.float32))
-    err1 = symmetric_transfer_error(H1, x1, x2)
-    inl1 = (err1 < thr) & mask
-    use_refit = jnp.sum(inl1) >= jnp.sum(inl0)
-    H = jnp.where(use_refit, H1, H0)
-    inliers = jnp.where(use_refit, inl1, inl0)
-    err = jnp.where(use_refit, err1, symmetric_transfer_error(H0, x1, x2))
+    # Iterated weighted refit (see ransac.py: one refit leaves sample-draw
+    # luck in the estimate; three rounds converge to the inlier LSQ fit).
+    H, inliers = H0, inl0
+    err = symmetric_transfer_error(H0, x1, x2)
+    for _ in range(3):
+        H1 = dlt_homography(x1, x2, w=inliers.astype(jnp.float32))
+        err1 = symmetric_transfer_error(H1, x1, x2)
+        inl1 = (err1 < thr) & mask
+        better = jnp.sum(inl1) >= jnp.sum(inliers)
+        H = jnp.where(better, H1, H)
+        inliers = jnp.where(better, inl1, inliers)
+        err = jnp.where(better, err1, err)
 
     n_in = jnp.sum(inliers)
     # Robust support score: truncated quadratic, comparable across models
@@ -335,6 +339,7 @@ class TwoViewModel(NamedTuple):
     ambiguous: jnp.ndarray  # scalar bool
 
 
+@partial(jax.jit, static_argnames=("n_hyp",))
 def select_two_view_model(
     key: jax.Array,
     x1: jnp.ndarray,

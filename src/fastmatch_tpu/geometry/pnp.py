@@ -141,15 +141,20 @@ def ransac_pnp(
     inl = jax.vmap(score)(poses.R, poses.t)  # (K, P)
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
-    pose0 = SE3(poses.R[best], poses.t[best])
-    w = inl[best].astype(jnp.float32)
-    pose = refine_pose_gn(pose0, X, x, w, iters=8)
-    inliers = score(pose.R, pose.t)
-    # Keep the refined pose only if it didn't lose inliers.
-    better = jnp.sum(inliers) >= counts[best]
-    pose = SE3(
-        jnp.where(better, pose.R, pose0.R), jnp.where(better, pose.t, pose0.t)
-    )
-    inliers = jnp.where(better, inliers, inl[best])
+    pose = SE3(poses.R[best], poses.t[best])
+    inliers = inl[best]
+    # Iterated refine/rescore (see ransac.py): each GN round runs on the
+    # current inlier set and is kept only if support doesn't drop, so the
+    # result converges to the inlier LSQ pose instead of inheriting the
+    # winning minimal sample's luck.
+    for _ in range(2):
+        cand = refine_pose_gn(pose, X, x, inliers.astype(jnp.float32), iters=8)
+        cand_inl = score(cand.R, cand.t)
+        better = jnp.sum(cand_inl) >= jnp.sum(inliers)
+        pose = SE3(
+            jnp.where(better, cand.R, pose.R),
+            jnp.where(better, cand.t, pose.t),
+        )
+        inliers = jnp.where(better, cand_inl, inliers)
     n = jnp.sum(inliers)
     return PnPResult(pose=pose, inliers=inliers, n_inliers=n, ok=n >= min_inliers)

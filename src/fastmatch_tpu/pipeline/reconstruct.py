@@ -153,6 +153,34 @@ def _normalize(uv_px: np.ndarray, cam: Pinhole) -> np.ndarray:
     return xd
 
 
+def _pad_for_ransac(arrs, n: int, bucket: int | None = None):
+    """Host-side shape bucketing for the jitted RANSAC/PnP calls.
+
+    Pads each array (first axis length n) to the next multiple of
+    ``bucket`` and returns (*padded, mask). Without this every frame's
+    match count is a fresh shape — a fresh XLA compile per frame (minutes
+    each through the TPU relay) — while masked semantics are identical
+    (samplers and scoring honor the mask).
+
+    Default bucket: 256 on TPU, 1 (no padding) elsewhere. Padding changes
+    the Gumbel sampler's draw (the noise tensor is shape-dependent), which
+    is statistically neutral but yields a different — occasionally worse —
+    RANSAC lottery on marginal scenes; CPU runs keep the historical
+    stream, and TPU runs trade it for compile-once behavior (the iterated
+    refit in each estimator absorbs most of the draw-to-draw spread).
+    """
+    if bucket is None:
+        bucket = 256 if jax.default_backend() == "tpu" else 1
+    m = max(bucket, -(-n // bucket) * bucket)
+    out = []
+    for a in arrs:
+        pad = np.zeros((m - n,) + a.shape[1:], a.dtype)
+        out.append(np.concatenate([a, pad], axis=0))
+    mask = np.zeros(m, bool)
+    mask[:n] = True
+    return (*out, mask)
+
+
 def _to_desc_container(desc: np.ndarray, mask: np.ndarray) -> Descriptors:
     return Descriptors(jnp.asarray(desc), jnp.asarray(mask))
 
@@ -219,11 +247,14 @@ def _disambiguate_planar_bootstrap(res, x0n, x1n, seed_desc, features,
         q = np.where(valid)[0]
         count = 0
         if len(q) >= 6:
+            Xp, xp, pmask = _pad_for_ransac(
+                [pts[idx[q]].astype(np.float32),
+                 _normalize(xy2[q], camera).astype(np.float32)], len(q))
             pn = ransac_pnp(
                 key,
-                jnp.asarray(pts[idx[q]]),
-                jnp.asarray(_normalize(xy2[q], camera).astype(np.float32)),
-                jnp.ones(len(q), bool),
+                jnp.asarray(Xp),
+                jnp.asarray(xp),
+                jnp.asarray(pmask),
                 thr=thr_n,
                 n_hyp=128,
                 min_inliers=6,
@@ -311,15 +342,17 @@ def reconstruct(
     x1n = _normalize(xy1[q], camera)
     x0n = _normalize(xy0[tr], camera)
     key, k1 = jax.random.split(key)
+    x0p, x1p, bmask = _pad_for_ransac(
+        [x0n.astype(np.float32), x1n.astype(np.float32)], len(q))
     if cfg.ransac.model_select:
         # H-vs-E selection: a planar scene (or near-pure rotation) leaves the
         # essential solve degenerate while its inlier count stays high — the
         # homography decomposition gives the well-posed pose there.
         res = select_two_view_model(
             k1,
-            jnp.asarray(x0n.astype(np.float32)),
-            jnp.asarray(x1n.astype(np.float32)),
-            jnp.ones(len(q), dtype=bool),
+            jnp.asarray(x0p),
+            jnp.asarray(x1p),
+            jnp.asarray(bmask),
             thr=thr_n,
             n_hyp=cfg.ransac.n_hyp,
             min_inliers=cfg.ransac.min_inliers,
@@ -328,14 +361,15 @@ def reconstruct(
     else:
         res = ransac_essential(
             k1,
-            jnp.asarray(x0n.astype(np.float32)),
-            jnp.asarray(x1n.astype(np.float32)),
-            jnp.ones(len(q), dtype=bool),
+            jnp.asarray(x0p),
+            jnp.asarray(x1p),
+            jnp.asarray(bmask),
             thr=thr_n,
             n_hyp=cfg.ransac.n_hyp,
             min_inliers=cfg.ransac.min_inliers,
         )
         bootstrap_used_h = False
+    res = res._replace(inliers=res.inliers[: len(q)])  # drop bucket padding
     if not bool(res.ok):
         raise RuntimeError("two-view bootstrap failed")
     if (bootstrap_used_h and bool(res.ambiguous) and len(features) > 2):
@@ -377,11 +411,14 @@ def reconstruct(
         lm = idx[q]
         xfn = _normalize(xyf[q], camera)
         key, k2 = jax.random.split(key)
+        Xp, xp, pmask = _pad_for_ransac(
+            [rec.points[lm].astype(np.float32), xfn.astype(np.float32)],
+            len(q))
         pn = ransac_pnp(
             k2,
-            jnp.asarray(rec.points[lm]),
-            jnp.asarray(xfn.astype(np.float32)),
-            jnp.ones(len(q), bool),
+            jnp.asarray(Xp),
+            jnp.asarray(xp),
+            jnp.asarray(pmask),
             thr=thr_n,
             n_hyp=max(cfg.ransac.n_hyp // 2, 64),
             min_inliers=max(cfg.ransac.min_inliers // 2, 6),
@@ -392,7 +429,7 @@ def reconstruct(
         rec.t[f] = np.asarray(pn.pose.t)
         rec.pose_mask[f] = True
         rec.n_frames = f + 1
-        inl = np.asarray(pn.inliers)
+        inl = np.asarray(pn.inliers)[: len(q)]
         rec.add_observations(f, lm[inl], xfn[inl])
         kp_landmark[f][q[inl]] = lm[inl]
         # Refresh the bank: a landmark's descriptor tracks its most recent

@@ -36,6 +36,7 @@ from fastmatch_tpu.pipeline.reconstruct import (
     _known_in_map,
     _match,
     _normalize,
+    _pad_for_ransac,
     _triangulate_two_view,
 )
 from fastmatch_tpu.posegraph.pgo import PoseGraph, pgo_solve
@@ -123,9 +124,11 @@ def slam(
     x1n = _normalize(xy1[q], camera)
     x0n = _normalize(xy0[tr], camera)
     key, k1 = jax.random.split(key)
+    x0p, x1p, bmask = _pad_for_ransac(
+        [x0n.astype(np.float32), x1n.astype(np.float32)], len(q))
     res = ransac_essential(
-        k1, jnp.asarray(x0n.astype(np.float32)), jnp.asarray(x1n.astype(np.float32)),
-        jnp.ones(len(q), bool), thr=thr_n, n_hyp=cfg.ransac.n_hyp,
+        k1, jnp.asarray(x0p), jnp.asarray(x1p), jnp.asarray(bmask),
+        thr=thr_n, n_hyp=cfg.ransac.n_hyp,
         min_inliers=cfg.ransac.min_inliers,
     )
     if not bool(res.ok):
@@ -134,7 +137,7 @@ def slam(
     rec.t[1] = _np(res.t)
     rec.pose_mask[1] = True
     rec.n_frames = 2
-    inl = np.asarray(res.inliers)
+    inl = np.asarray(res.inliers)[: len(q)]
     pts, keep = _triangulate_two_view(rec, 0, 1, x0n[inl], x1n[inl],
                                       cfg.map.min_parallax_deg)
     qi, ti = q[inl][keep], tr[inl][keep]
@@ -144,6 +147,13 @@ def slam(
     kp_landmark[1][qi] = ids
     kp_landmark[0][ti] = ids
     pt_last_seen[ids] = 1
+    # Refine the two-view seed immediately (reconstruct.py does the same):
+    # the RANSAC pose carries sampler-draw luck — measured up to ~3x spread
+    # in translation direction on identical inputs — and every later PnP
+    # localizes against this map, so un-refined seed error compounds into
+    # tracking loss within a few frames.
+    if cfg.ba.interval:
+        run_local_ba(1)
     Z = SE3(jnp.asarray(rec.R[1]), jnp.asarray(rec.t[1]))  # T_1 T_0^-1 (T_0 = I)
     out.odo_edges.append((1, 0, _np(Z.R), _np(Z.t)))
 
@@ -158,20 +168,27 @@ def slam(
         lm = idx[q]
         xfn = _normalize(xyf[q], camera)
         key, k2 = jax.random.split(key)
+        Xp, xp, pmask = _pad_for_ransac(
+            [rec.points[lm].astype(np.float32), xfn.astype(np.float32)],
+            len(q))
         pn = ransac_pnp(
-            k2, jnp.asarray(rec.points[lm]), jnp.asarray(xfn.astype(np.float32)),
-            jnp.ones(len(q), bool), thr=thr_n,
+            k2, jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(pmask),
+            thr=thr_n,
             n_hyp=max(cfg.ransac.n_hyp // 2, 64),
             min_inliers=max(cfg.ransac.min_inliers // 2, 6),
         )
         if not bool(pn.ok):
-            raise RuntimeError(f"SLAM tracking lost at frame {f}")
+            raise RuntimeError(
+                f"SLAM tracking lost at frame {f} "
+                f"({int(pn.n_inliers)} inliers of {len(q)} matches, "
+                f"need {max(cfg.ransac.min_inliers // 2, 6)})"
+            )
         prevR, prevt = rec.R[f - 1].copy(), rec.t[f - 1].copy()
         rec.R[f] = _np(pn.pose.R)
         rec.t[f] = _np(pn.pose.t)
         rec.pose_mask[f] = True
         rec.n_frames = f + 1
-        inl = np.asarray(pn.inliers)
+        inl = np.asarray(pn.inliers)[: len(q)]
         is_kf = (
             scfg.kf_tracked_thresh <= 0
             or int(inl.sum()) < scfg.kf_tracked_thresh
@@ -269,10 +286,12 @@ def slam(
                         if len(q4) >= 12:
                             key, k4 = jax.random.split(key)
                             x4 = _normalize(xyf[q4], camera)
+                            X4p, x4p, m4 = _pad_for_ransac(
+                                [rec.points[i4[q4]].astype(np.float32),
+                                 x4.astype(np.float32)], len(q4))
                             pl = ransac_pnp(
-                                k4, jnp.asarray(rec.points[i4[q4]]),
-                                jnp.asarray(x4.astype(np.float32)),
-                                jnp.ones(len(q4), bool), thr=thr_n,
+                                k4, jnp.asarray(X4p), jnp.asarray(x4p),
+                                jnp.asarray(m4), thr=thr_n,
                                 n_hyp=256, min_inliers=10,
                             )
                             if bool(pl.ok):
