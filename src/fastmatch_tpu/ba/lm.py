@@ -155,6 +155,27 @@ _ba_solve_jit = partial(jax.jit, static_argnames=(
     "max_iters", "pcg_iters", "huber_delta_static", "axis_name"))(ba_solve_raw)
 
 
+def sort_obs_by_point(problem: BAProblem) -> BAProblem:
+    """Sort the observation table by pt_idx (stable, mask-preserving).
+
+    The Pallas sorted-segment kernels (kernels/segment_ops.py) rely on this
+    invariant for every pt-keyed reduction/gather; on other backends the
+    order only changes f32 summation order. Dead observations (pt_idx 0,
+    zero weight) sort to the front of segment 0 — harmless.
+    """
+    from fastmatch_tpu.ba.problem import Observations
+
+    order = jnp.argsort(problem.obs.pt_idx)
+    o = problem.obs
+    obs = Observations(
+        cam_idx=o.cam_idx[order],
+        pt_idx=o.pt_idx[order],
+        uv=o.uv[order],
+        mask=o.mask[order],
+    )
+    return problem._replace(obs=obs)
+
+
 def ba_solve(problem: BAProblem, grouped: GroupedObs | None | str = None,
              **kwargs) -> BAResult:
     """Jitted BA entry point.
@@ -167,6 +188,7 @@ def ba_solve(problem: BAProblem, grouped: GroupedObs | None | str = None,
     scatters cost), so the simpler default stays; the grouped path is kept
     as a tested alternative for topologies where gathers are cheaper.
     """
+    problem = sort_obs_by_point(problem)
     if grouped == "auto":
         grouped = None
         if not isinstance(jnp.asarray(problem.obs.cam_idx), jax.core.Tracer):

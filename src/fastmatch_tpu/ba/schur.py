@@ -37,9 +37,9 @@ def residuals_and_jacobians(poses: SE3, points, obs, huber_delta: float | None =
     the validity mask and (optionally) Huber IRLS weights. Twist layout is
     [v, omega] matching core.lie.
     """
-    Rc = poses.R[obs.cam_idx]  # (O, 3, 3)
-    tc = poses.t[obs.cam_idx]
-    X = points[obs.pt_idx]  # (O, 3)
+    Rc = _gather_rows(poses.R, obs.cam_idx)  # (O, 3, 3)
+    tc = _gather_rows(poses.t, obs.cam_idx)
+    X = _gather_rows(points, obs.pt_idx)  # (O, 3)
     p = jnp.einsum("oij,oj->oi", Rc, X) + tc
     res = _project(p) - obs.uv  # (O, 2)
     z = jnp.where(jnp.abs(p[:, 2]) < 1e-9, 1e-9, p[:, 2])
@@ -80,6 +80,40 @@ class BlockSystem(NamedTuple):
     w: jnp.ndarray
 
 
+def _pallas_ok(n_rows: int, n_target: int) -> bool:
+    """Gate for the sorted-segment Pallas kernels (kernels/segment_ops.py):
+    TPU backend, 1024-divisible row count, and a 1024-divisible (or small)
+    target table. The pt-keyed ops additionally require the observation
+    table to be SORTED BY pt_idx — ba_solve establishes that invariant on
+    entry; cam-keyed ops use the kernels' full-window path (order-free)."""
+    return (jax.default_backend() == "tpu"
+            and n_rows % 1024 == 0
+            and (n_target <= 1024 or n_target % 1024 == 0))
+
+
+def _seg_sum(vals, idx, n, axis_name):
+    """segment_sum with the Pallas sorted/one-hot path on TPU."""
+    shape = vals.shape
+    if _pallas_ok(shape[0], n):
+        from fastmatch_tpu.kernels.segment_ops import sorted_segment_sum
+
+        flat = vals.reshape(shape[0], -1)
+        out = sorted_segment_sum(flat, idx, n).reshape((n,) + shape[1:])
+    else:
+        out = jax.ops.segment_sum(vals, idx, num_segments=n)
+    return _psum(out, axis_name)
+
+
+def _gather_rows(table, idx):
+    """table[idx]. Stays on the XLA gather: the Pallas windowed one-hot
+    alternative (kernels/segment_ops.sorted_gather_rows) measured 1.9 ms vs
+    XLA's 1.4 ms at BA scale — the dense one-hot build costs ~2 KB of VREG
+    traffic per observation against the gather's 72 B of HBM, and sorted
+    locality can't close a 30x constant. Kept as a helper so the choice is
+    one line to revisit."""
+    return table[idx]
+
+
 def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
@@ -94,19 +128,15 @@ def assemble(poses, points, obs, n_cams, n_points, huber_delta=None,
     """
     res, Jc, Jp, w = residuals_and_jacobians(poses, points, obs, huber_delta)
     wv = w[:, None, None]
-    Hcc = _psum(jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", Jc * wv, Jc), obs.cam_idx, num_segments=n_cams
-    ), axis_name)
-    Hpp = _psum(jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", Jp * wv, Jp), obs.pt_idx, num_segments=n_points
-    ), axis_name)
+    Hcc = _seg_sum(
+        jnp.einsum("oki,okj->oij", Jc * wv, Jc), obs.cam_idx, n_cams, axis_name)
+    Hpp = _seg_sum(
+        jnp.einsum("oki,okj->oij", Jp * wv, Jp), obs.pt_idx, n_points, axis_name)
     Wcp = jnp.einsum("oki,okj->oij", Jc * wv, Jp)  # (O_local, 6, 3) stays sharded
-    gc = -_psum(jax.ops.segment_sum(
-        jnp.einsum("oki,ok->oi", Jc * wv, res), obs.cam_idx, num_segments=n_cams
-    ), axis_name)
-    gp = -_psum(jax.ops.segment_sum(
-        jnp.einsum("oki,ok->oi", Jp * wv, res), obs.pt_idx, num_segments=n_points
-    ), axis_name)
+    gc = -_seg_sum(
+        jnp.einsum("oki,ok->oi", Jc * wv, res), obs.cam_idx, n_cams, axis_name)
+    gp = -_seg_sum(
+        jnp.einsum("oki,ok->oi", Jp * wv, res), obs.pt_idx, n_points, axis_name)
     cost = _psum(0.5 * jnp.sum(w * jnp.sum(res * res, -1)), axis_name)
     return BlockSystem(Hcc, Hpp, Wcp, gc, gp, Jc, Jp, w), cost
 
@@ -167,12 +197,12 @@ def schur_matvec(sys: BlockSystem, obs, lam, x, n_points, cam_update_mask,
     if Hpp_inv is None:
         Hpp_inv = damped_pp_inverse(sys, lam)
     # y_p = sum_o W_cp(o)^T x[cam_o]
-    yo = jnp.einsum("oij,oi->oj", sys.Wcp, x[obs.cam_idx])  # (O, 3)
-    yp = _psum(jax.ops.segment_sum(yo, obs.pt_idx, num_segments=n_points), axis_name)
+    yo = jnp.einsum("oij,oi->oj", sys.Wcp, _gather_rows(x, obs.cam_idx))  # (O, 3)
+    yp = _seg_sum(yo, obs.pt_idx, n_points, axis_name)
     zp = jnp.einsum("pij,pj->pi", Hpp_inv, yp)  # (P, 3)
     # w_c = sum_o W_cp(o) z[pt_o]
-    wo = jnp.einsum("oij,oj->oi", sys.Wcp, zp[obs.pt_idx])  # (O, 6)
-    wc = _psum(jax.ops.segment_sum(wo, obs.cam_idx, num_segments=x.shape[0]), axis_name)
+    wo = jnp.einsum("oij,oj->oi", sys.Wcp, _gather_rows(zp, obs.pt_idx))  # (O, 6)
+    wc = _seg_sum(wo, obs.cam_idx, x.shape[0], axis_name)
     Sx = jnp.einsum("cij,cj->ci", _damped(sys.Hcc, lam), x) - wc
     return Sx * cam_update_mask[:, None]
 
@@ -183,9 +213,8 @@ def reduced_rhs(sys: BlockSystem, obs, lam, n_points, cam_update_mask,
     if Hpp_inv is None:
         Hpp_inv = damped_pp_inverse(sys, lam)
     zp = jnp.einsum("pij,pj->pi", Hpp_inv, sys.gp)
-    wo = jnp.einsum("oij,oj->oi", sys.Wcp, zp[obs.pt_idx])
-    wc = _psum(jax.ops.segment_sum(wo, obs.cam_idx, num_segments=sys.gc.shape[0]),
-               axis_name)
+    wo = jnp.einsum("oij,oj->oi", sys.Wcp, _gather_rows(zp, obs.pt_idx))
+    wc = _seg_sum(wo, obs.cam_idx, sys.gc.shape[0], axis_name)
     return (sys.gc - wc) * cam_update_mask[:, None]
 
 
@@ -194,8 +223,8 @@ def back_substitute(sys: BlockSystem, obs, lam, dx_c, n_points, axis_name=None,
     """dx_p = (H_pp+lam)^-1 (gp - H_pc dx_c)."""
     if Hpp_inv is None:
         Hpp_inv = damped_pp_inverse(sys, lam)
-    yo = jnp.einsum("oij,oi->oj", sys.Wcp, dx_c[obs.cam_idx])
-    yp = _psum(jax.ops.segment_sum(yo, obs.pt_idx, num_segments=n_points), axis_name)
+    yo = jnp.einsum("oij,oi->oj", sys.Wcp, _gather_rows(dx_c, obs.cam_idx))
+    yp = _seg_sum(yo, obs.pt_idx, n_points, axis_name)
     return jnp.einsum("pij,pj->pi", Hpp_inv, sys.gp - yp)
 
 

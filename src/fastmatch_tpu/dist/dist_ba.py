@@ -97,8 +97,13 @@ def ba_solve_sharded(
     huber_delta_static: float | None = None,
 ) -> BAResult:
     """Run LM-BA with observations sharded over mesh axis ``bank``."""
+    from fastmatch_tpu.ba.lm import sort_obs_by_point
+
     n_shards = mesh.shape["bank"]
+    # Pad first (padding appends pt_idx-0 rows), THEN pt-sort globally:
+    # contiguous shards of a sorted table stay sorted, which the Pallas
+    # segment kernels rely on per-device.
     obs = shard_observations(problem.obs, n_shards)
-    problem = problem._replace(obs=obs)
+    problem = sort_obs_by_point(problem._replace(obs=obs))
     fn = _sharded_solver(mesh, max_iters, pcg_iters, huber_delta_static)
     return fn(problem)
