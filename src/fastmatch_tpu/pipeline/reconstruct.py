@@ -268,12 +268,16 @@ def _disambiguate_planar_bootstrap(res, x0n, x1n, seed_desc, features,
 def _triangulate_two_view(rec, f1, f2, uv1, uv2, min_parallax_deg):
     """Triangulate normalized correspondences seen by frames f1, f2; returns
     (points (K, 3), keep (K,) bool) with cheirality + parallax gates."""
+    n = uv1.shape[0]
+    uv1p, uv2p, tmask = _pad_for_ransac(
+        [uv1.astype(np.float32), uv2.astype(np.float32)], n)
     R = jnp.asarray(np.stack([rec.R[f1], rec.R[f2]]))
     t = jnp.asarray(np.stack([rec.t[f1], rec.t[f2]]))
-    x = jnp.asarray(np.stack([uv1, uv2]).astype(np.float32))
-    pts, ok = triangulate_dlt(R, t, x)
-    pts = np.array(pts)
-    ok = np.array(ok)
+    x = jnp.asarray(np.stack([uv1p, uv2p]))
+    mask2 = jnp.asarray(np.stack([tmask, tmask]))
+    pts, ok = triangulate_dlt(R, t, x, mask2)
+    pts = np.array(pts)[:n]
+    ok = np.array(ok)[:n]
     # Cheirality in both views.
     for R_, t_ in ((rec.R[f1], rec.t[f1]), (rec.R[f2], rec.t[f2])):
         z = (pts @ R_.T + t_)[:, 2]
