@@ -1,0 +1,51 @@
+"""End-to-end incremental SfM throughput on one chip (BASELINE.json
+config 3): synthetic features -> reconstruct() (match + PnP + triangulate
++ interval BA), steady-state (second run: compile cache warm).
+
+    /opt/venv/bin/python benchmarks/pipeline_bench.py [n_frames]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "src"))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from synth import SyntheticScene
+    from test_pipeline import synthetic_features
+    from fastmatch_tpu.pipeline.reconstruct import reconstruct
+    from fastmatch_tpu.pipeline.config import PipelineConfig
+    from fastmatch_tpu.core.camera import Pinhole
+    from fastmatch_tpu.utils.evaluation import ate_rmse
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    rng = np.random.default_rng(0)
+    scene = SyntheticScene(rng, n_points=400, n_frames=n_frames)
+    feats = synthetic_features(rng, scene)
+    cam = Pinhole.from_K(scene.K)
+    cfg = PipelineConfig()
+
+    t0 = time.perf_counter()
+    reconstruct(feats, cam, cfg)
+    print(f"backend={jax.default_backend()} first run (compiles): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    rec = reconstruct(feats, cam, cfg)
+    dt = time.perf_counter() - t0
+    est = np.stack([-rec.R[f].T @ rec.t[f] for f in range(n_frames)])
+    gt = np.einsum("fji,fj->fi", scene.R[:n_frames], -scene.t[:n_frames])
+    ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+    print(f"steady-state: {dt:.1f}s for {n_frames} frames -> "
+          f"{n_frames / dt:.2f} frames/s (ATE {ate:.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
