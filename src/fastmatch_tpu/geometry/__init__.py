@@ -22,7 +22,7 @@ from fastmatch_tpu.geometry.homography import (
 )
 from fastmatch_tpu.geometry.ransac import ransac_essential, RansacResult
 from fastmatch_tpu.geometry.triangulation import triangulate_dlt
-from fastmatch_tpu.geometry.pnp import pnp_dlt, ransac_pnp
+from fastmatch_tpu.geometry.pnp import pnp_dlt, pnp_planar, ransac_pnp
 
 __all__ = [
     "decompose_essential",
@@ -45,5 +45,6 @@ __all__ = [
     "RansacResult",
     "triangulate_dlt",
     "pnp_dlt",
+    "pnp_planar",
     "ransac_pnp",
 ]

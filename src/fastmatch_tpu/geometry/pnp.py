@@ -65,6 +65,49 @@ def pnp_dlt(X: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray | None = None):
     return SE3(R, t)
 
 
+def pnp_planar(X: jnp.ndarray, x: jnp.ndarray):
+    """Pose from (near-)coplanar 2D-3D correspondences via a plane-to-image
+    homography (IPPE-style). X: (..., P, 3), x: (..., P, 2) normalized.
+
+    The 3x4 DLT is rank-deficient when the points are coplanar (the
+    projective matrix has a one-parameter null family on a plane), so
+    every minimal 6-point sample of a planar scene yields garbage;
+    ransac_pnp races this solver's hypotheses alongside the DLT's.
+
+    Construction: build an orthonormal in-plane frame (c; u, v) from the
+    sample, fit H mapping plane coordinates to image, and read the pose
+    off H = [R u | R v | R c + t] up to scale; orthonormalize with polar3.
+    """
+    from fastmatch_tpu.core.batched_linalg import (
+        _orth_complement, polar3, smallest_eigvecs)
+    from fastmatch_tpu.geometry.homography import dlt_homography
+
+    c = jnp.mean(X, axis=-2)
+    Xc = X - c[..., None, :]
+    cov = jnp.einsum("...pi,...pj->...ij", Xc, Xc)
+    w = smallest_eigvecs(cov)[..., :, 0]  # plane normal (unit)
+    u = _orth_complement(w)
+    v = jnp.cross(w, u)
+    p2 = jnp.stack(
+        [jnp.einsum("...pi,...i->...p", Xc, u),
+         jnp.einsum("...pi,...i->...p", Xc, v)], axis=-1)  # (..., P, 2)
+    H = dlt_homography(p2, x)  # x ~ H [p2; 1]
+    # Sign: the plane origin c must project to positive depth (H[:, 2] is
+    # the image of [0, 0, 1] = R c + t, whose z is the origin's depth).
+    H = H * jnp.where(H[..., 2, 2] < 0, -1.0, 1.0)[..., None, None]
+    h1 = H[..., :, 0]
+    h2 = H[..., :, 1]
+    s = 2.0 / jnp.maximum(
+        jnp.linalg.norm(h1, axis=-1) + jnp.linalg.norm(h2, axis=-1), 1e-12)
+    r1 = h1 * s[..., None]
+    r2 = h2 * s[..., None]
+    Rp = polar3(jnp.stack([r1, r2, jnp.cross(r1, r2)], axis=-1))
+    B = jnp.stack([u, v, w], axis=-1)  # world->plane-frame basis (columns)
+    R = Rp @ jnp.swapaxes(B, -2, -1)
+    t = H[..., :, 2] * s[..., None] - jnp.einsum("...ij,...j->...i", R, c)
+    return SE3(R, t)
+
+
 def refine_pose_gn(
     pose: SE3, X: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray, iters: int = 5,
     damping: float = 1e-6,
@@ -130,8 +173,18 @@ def ransac_pnp(
         )
     from fastmatch_tpu.geometry.ransac import _sample_minimal_sets
 
-    idx = _sample_minimal_sets(key, mask, n_hyp, 6)
-    poses = pnp_dlt(X[idx], x[idx])  # batched SE3 (K, 3, 3)/(K, 3)
+    k6, k4 = jax.random.split(key)
+    # Two hypothesis families scored together: 6-point DLT (general scenes)
+    # and plane-homography pose (the DLT is rank-deficient on coplanar
+    # points — every sample of a planar scene yields garbage without this).
+    idx = _sample_minimal_sets(k6, mask, n_hyp // 2, 6)
+    poses6 = pnp_dlt(X[idx], x[idx])
+    idx4 = _sample_minimal_sets(k4, mask, n_hyp - n_hyp // 2, 4)
+    poses4 = pnp_planar(X[idx4], x[idx4])
+    poses = SE3(
+        jnp.concatenate([poses6.R, poses4.R], axis=0),
+        jnp.concatenate([poses6.t, poses4.t], axis=0),
+    )
 
     def score(R, t):
         p = jnp.einsum("ij,pj->pi", R, X) + t

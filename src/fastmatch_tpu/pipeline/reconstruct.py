@@ -120,11 +120,24 @@ class Reconstruction:
             fixed_cams=jnp.asarray(fixed & self.pose_mask),
         )
 
-    def run_ba(self):
+    def run_ba(self, free_second_cam: bool = False):
+        """Global BA. ``free_second_cam`` is for the two-view SEED refit:
+        with both gauge cameras fixed (the default), BA can only move
+        points and a bootstrap pose error is frozen in — measured to be
+        exactly what starves frame-2 PnP on planar scenes, where the
+        homography pose's translation direction carries ~3x the essential
+        path's noise. Freeing camera 1 (camera 0 alone fixes the frame;
+        LM damping handles the scale gauge) and renormalizing |t1| to 1
+        afterwards recovers it."""
         cfg = self.cfg.ba
         thr = self.cfg.ba.huber_px / float(self.camera.fx)
+        prob = self.ba_problem()
+        if free_second_cam:
+            fixed = np.zeros_like(self.pose_mask)
+            fixed[:1] = True
+            prob = prob._replace(fixed_cams=jnp.asarray(fixed & self.pose_mask))
         res = ba_solve(
-            self.ba_problem(),
+            prob,
             max_iters=cfg.max_iters,
             pcg_iters=cfg.pcg_iters,
             huber_delta_static=thr,
@@ -134,6 +147,13 @@ class Reconstruction:
         self.R = np.array(res.poses.R)
         self.t = np.array(res.poses.t)
         self.points = np.array(res.points)
+        if free_second_cam:
+            # Restore the monocular scale gauge |t1| = 1 (X -> X/s with
+            # t -> t/s leaves every projection unchanged).
+            s = float(np.linalg.norm(self.t[1]))
+            if s > 1e-9:
+                self.t[self.pose_mask] /= s
+                self.points[self.pt_mask] /= s
         return float(res.cost0), float(res.cost)
 
 
@@ -402,9 +422,11 @@ def reconstruct(
     )
     # Refine the two-view seed immediately: every later PnP localizes
     # against this map, and un-refined DLT triangulations carry enough
-    # error to starve PnP a few frames out (drift compounds).
+    # error to starve PnP a few frames out (drift compounds). Camera 1 is
+    # FREED here (see run_ba) so the bootstrap pose itself is corrected,
+    # not just the points.
     if cfg.ba.interval:
-        rec.run_ba()
+        rec.run_ba(free_second_cam=True)
 
     # ---- frames >= 2 ----
     for f in range(2, len(features)):

@@ -153,7 +153,7 @@ def slam(
     # localizes against this map, so un-refined seed error compounds into
     # tracking loss within a few frames.
     if cfg.ba.interval:
-        run_local_ba(1)
+        rec.run_ba(free_second_cam=True)
     Z = SE3(jnp.asarray(rec.R[1]), jnp.asarray(rec.t[1]))  # T_1 T_0^-1 (T_0 = I)
     out.odo_edges.append((1, 0, _np(Z.R), _np(Z.t)))
 

@@ -491,3 +491,43 @@ class TestFivePoint:
         assert ang < 1.5, f"rotation error {ang:.2f} deg"
         inl = np.asarray(res.inliers)
         assert (inl & bad).sum() <= 0.05 * max(inl.sum(), 1)
+
+
+class TestPlanarPnP:
+    """Coplanar 2D-3D: the 6-point DLT is rank-deficient on a plane; the
+    plane-homography solver family must carry RANSAC there."""
+
+    @staticmethod
+    def _planar_pnp_problem(rng, n_pts=150):
+        n = np.array([0.2, -0.1, 1.0])
+        n /= np.linalg.norm(n)
+        d = 4.0
+        xy = rng.uniform(-2.0, 2.0, (n_pts, 2))
+        z = (d - xy @ n[:2]) / n[2]
+        X = np.column_stack([xy, z]).astype(np.float32)
+        R = np.asarray(SO3.exp(jnp.asarray(rng.standard_normal(3) * 0.15,
+                                           jnp.float32)))
+        t = np.array([0.3, -0.2, 0.5], np.float32)
+        Xc = X @ R.T + t
+        x = (Xc[:, :2] / Xc[:, 2:3]).astype(np.float32)
+        return X, x, R, t
+
+    def test_pnp_planar_exact(self, rng):
+        from fastmatch_tpu.geometry.pnp import pnp_planar
+        X, x, R, t = self._planar_pnp_problem(rng)
+        pose = pnp_planar(jnp.asarray(X), jnp.asarray(x))
+        assert np.abs(np.asarray(pose.R) - R).max() < 1e-4
+        assert np.abs(np.asarray(pose.t) - t).max() < 1e-3
+
+    def test_ransac_pnp_planar_outliers(self, rng):
+        X, x, R, t = self._planar_pnp_problem(rng)
+        x = x + rng.standard_normal(x.shape).astype(np.float32) * 5e-4
+        bad = rng.random(len(x)) < 0.3
+        x[bad] += rng.uniform(0.1, 0.5, (int(bad.sum()), 2)).astype(np.float32)
+        res = ransac_pnp(jax.random.PRNGKey(0), jnp.asarray(X), jnp.asarray(x),
+                         jnp.ones(len(x), bool), thr=(2.0 / 500.0) ** 2)
+        assert bool(res.ok)
+        dR = np.asarray(res.pose.R) @ R.T
+        ang = np.degrees(np.abs(np.asarray(SO3.log(jnp.asarray(dR)))).max())
+        assert ang < 1.0, f"rotation error {ang:.2f} deg"
+        assert np.linalg.norm(np.asarray(res.pose.t) - t) < 0.05

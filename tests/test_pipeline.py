@@ -116,3 +116,41 @@ class TestConfig3Scale:
         ate = float(ate_rmse(jnp.asarray(rec.camera_centers()), jnp.asarray(gt)))
         # GT span is ~7 world units; reconstruction aligns to ~1% of it.
         assert ate < 0.1, ate
+
+
+class TestPlanarBootstrap:
+    """A fully planar scene through the full reconstruct() pipeline: the
+    two-view bootstrap must take the homography branch (essential is
+    degenerate on a plane), resolve the two-fold ambiguity with the third
+    view when flagged, and still deliver a low-ATE reconstruction."""
+
+    def test_planar_scene_reconstructs(self, rng):
+        from fastmatch_tpu.utils.evaluation import ate_rmse
+
+        scene = SyntheticScene(rng, n_points=300, n_frames=10)
+        # Flatten the landmarks onto a plane (n . X = d) and recompute
+        # projections/visibility for the same trajectory.
+        n = np.array([0.1, -0.15, 1.0])
+        n /= np.linalg.norm(n)
+        d = 0.8
+        X = scene.points
+        X = X - np.outer(X @ n - d, n)  # project points onto the plane
+        scene.points = X
+        for f in range(scene.R.shape[0]):
+            Xc = X @ scene.R[f].T + scene.t[f]
+            uv = (Xc[:, :2] / np.maximum(Xc[:, 2:3], 1e-9))
+            pix = uv * 500.0 + scene.K[:2, 2]
+            scene.pixels[f] = pix
+            scene.visible[f] = (
+                (Xc[:, 2] > 0.2)
+                & (pix[:, 0] >= 0) & (pix[:, 0] < 640)
+                & (pix[:, 1] >= 0) & (pix[:, 1] < 480)
+            )
+        feats = synthetic_features(rng, scene, noise_px=0.3)
+        cam = Pinhole.from_K(scene.K)
+        rec = reconstruct(feats, cam, PipelineConfig())
+        assert rec.frame_stats[1].get("bootstrap_homography") is True
+        est = np.stack([-rec.R[f].T @ rec.t[f] for f in range(10)])
+        gt = np.einsum("fji,fj->fi", scene.R, -scene.t)
+        ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+        assert ate < 0.1, ate
