@@ -18,6 +18,15 @@ SLAM/SfM pipeline, per the project north star (BASELINE.json):
 Note on reference citations: /root/reference (arnfred/Fast-Match) was an empty
 mount in every session to date (see SURVEY.md §0), so docstrings cite the
 in-repo capability spec BASELINE.json instead of reference file:line.
+
+.. warning:: **Import side effect** — importing this package sets the
+   process-global ``jax_default_matmul_precision = "highest"`` (rationale
+   below). Host programs embedding fastmatch-tpu alongside other JAX code
+   that relies on TPU's default-bf16 matmuls will see those matmuls run in
+   full f32 (slower, more accurate) after this import. To restore the
+   default for your own code, wrap it in
+   ``with jax.default_matmul_precision("default"): ...`` or set the config
+   back explicitly. Also documented in README "Embedding" section.
 """
 
 __version__ = "0.1.0"

@@ -80,21 +80,30 @@ class BlockSystem(NamedTuple):
     w: jnp.ndarray
 
 
-def _pallas_ok(n_rows: int, n_target: int) -> bool:
+def _pallas_ok(n_rows: int, n_target: int, sorted_keys: bool) -> bool:
     """Gate for the sorted-segment Pallas kernels (kernels/segment_ops.py):
     TPU backend, 1024-divisible row count, and a 1024-divisible (or small)
-    target table. The pt-keyed ops additionally require the observation
-    table to be SORTED BY pt_idx — ba_solve establishes that invariant on
-    entry; cam-keyed ops use the kernels' full-window path (order-free)."""
+    target table. The windowed multi-tile path (n_target > 1024) derives
+    per-chunk tile ranges from chunk-endpoint keys and is therefore correct
+    ONLY for keys sorted ascending — ba_solve sorts the observation table by
+    pt_idx, so pt-keyed reductions qualify while cam-keyed ones (Hcc, gc,
+    wc) must declare sorted_keys=False and are admitted only to the
+    order-free full-window path (n_target <= 1024)."""
+    if n_target > 1024 and not sorted_keys:
+        return False
     return (jax.default_backend() == "tpu"
             and n_rows % 1024 == 0
             and (n_target <= 1024 or n_target % 1024 == 0))
 
 
-def _seg_sum(vals, idx, n, axis_name):
-    """segment_sum with the Pallas sorted/one-hot path on TPU."""
+def _seg_sum(vals, idx, n, axis_name, sorted_keys=False):
+    """segment_sum with the Pallas sorted/one-hot path on TPU.
+
+    ``sorted_keys``: caller's promise that ``idx`` is sorted ascending;
+    required for the windowed kernel path when n > 1024 (see _pallas_ok).
+    """
     shape = vals.shape
-    if _pallas_ok(shape[0], n):
+    if _pallas_ok(shape[0], n, sorted_keys):
         from fastmatch_tpu.kernels.segment_ops import sorted_segment_sum
 
         flat = vals.reshape(shape[0], -1)
@@ -131,12 +140,14 @@ def assemble(poses, points, obs, n_cams, n_points, huber_delta=None,
     Hcc = _seg_sum(
         jnp.einsum("oki,okj->oij", Jc * wv, Jc), obs.cam_idx, n_cams, axis_name)
     Hpp = _seg_sum(
-        jnp.einsum("oki,okj->oij", Jp * wv, Jp), obs.pt_idx, n_points, axis_name)
+        jnp.einsum("oki,okj->oij", Jp * wv, Jp), obs.pt_idx, n_points, axis_name,
+        sorted_keys=True)
     Wcp = jnp.einsum("oki,okj->oij", Jc * wv, Jp)  # (O_local, 6, 3) stays sharded
     gc = -_seg_sum(
         jnp.einsum("oki,ok->oi", Jc * wv, res), obs.cam_idx, n_cams, axis_name)
     gp = -_seg_sum(
-        jnp.einsum("oki,ok->oi", Jp * wv, res), obs.pt_idx, n_points, axis_name)
+        jnp.einsum("oki,ok->oi", Jp * wv, res), obs.pt_idx, n_points, axis_name,
+        sorted_keys=True)
     cost = _psum(0.5 * jnp.sum(w * jnp.sum(res * res, -1)), axis_name)
     return BlockSystem(Hcc, Hpp, Wcp, gc, gp, Jc, Jp, w), cost
 
@@ -198,7 +209,7 @@ def schur_matvec(sys: BlockSystem, obs, lam, x, n_points, cam_update_mask,
         Hpp_inv = damped_pp_inverse(sys, lam)
     # y_p = sum_o W_cp(o)^T x[cam_o]
     yo = jnp.einsum("oij,oi->oj", sys.Wcp, _gather_rows(x, obs.cam_idx))  # (O, 3)
-    yp = _seg_sum(yo, obs.pt_idx, n_points, axis_name)
+    yp = _seg_sum(yo, obs.pt_idx, n_points, axis_name, sorted_keys=True)
     zp = jnp.einsum("pij,pj->pi", Hpp_inv, yp)  # (P, 3)
     # w_c = sum_o W_cp(o) z[pt_o]
     wo = jnp.einsum("oij,oj->oi", sys.Wcp, _gather_rows(zp, obs.pt_idx))  # (O, 6)
@@ -224,7 +235,7 @@ def back_substitute(sys: BlockSystem, obs, lam, dx_c, n_points, axis_name=None,
     if Hpp_inv is None:
         Hpp_inv = damped_pp_inverse(sys, lam)
     yo = jnp.einsum("oij,oi->oj", sys.Wcp, _gather_rows(dx_c, obs.cam_idx))
-    yp = _seg_sum(yo, obs.pt_idx, n_points, axis_name)
+    yp = _seg_sum(yo, obs.pt_idx, n_points, axis_name, sorted_keys=True)
     return jnp.einsum("pij,pj->pi", Hpp_inv, sys.gp - yp)
 
 

@@ -238,10 +238,18 @@ def evaluate_pairs(pairs, sift_cfg=None, ratio: float = 0.8, tol: float = 3.0,
                 "n_gt": int(ev.n_gt),
             }
         )
+    # Pairs where detection/matching produced nothing (NaN precision) or no
+    # keypoint has ground truth (NaN recall) are excluded from the means —
+    # a failed pair must not score 1.0 — and counted separately.
+    prec = [r["precision"] for r in results if not np.isnan(r["precision"])]
+    rec = [r["recall"] for r in results if not np.isnan(r["recall"])]
     agg = {
         "pairs": len(results),
-        "mean_precision": float(np.mean([r["precision"] for r in results])),
-        "mean_recall": float(np.mean([r["recall"] for r in results])),
+        "pairs_no_prediction": sum(
+            1 for r in results if np.isnan(r["precision"])),
+        "pairs_no_gt": sum(1 for r in results if np.isnan(r["recall"])),
+        "mean_precision": float(np.mean(prec)) if prec else float("nan"),
+        "mean_recall": float(np.mean(rec)) if rec else float("nan"),
         "n_correct": int(sum(r["n_correct"] for r in results)),
         "n_predicted": int(sum(r["n_predicted"] for r in results)),
         "n_gt": int(sum(r["n_gt"] for r in results)),

@@ -23,9 +23,14 @@ Mosaic constraints (same family as kernels/patch_gather.py): dynamic dim-0
 slices of (N, small) f32 arrays must be provably aligned to 1024 rows, so
 blocks and windows are 1024-row tiles and starts are computed as
 ``tile_index * 1024`` in-kernel; per-block tile ranges are scalar-prefetched
-(host-side ``seg[::1024] // 1024``). One-hot matmuls run at
-``Precision.HIGHEST`` — the one-hot side is exact in any precision and the
-value side must not round through bf16.
+(host-side ``seg[::1024] // 1024``). One-hot matmuls run as a two-pass bf16 hi/lo
+split at ``Precision.DEFAULT`` (see ``_dot2``): the one-hot side is exact
+in bf16, and the value side is split into bf16 hi + lo parts so each value
+carries ~16 mantissa bits across the two passes — relative error ~2^-16
+per contraction versus a full f32 HIGHEST dot (which costs 6 MXU passes
+and was measured to be the entire kernel cost). Consumers that compare
+against XLA's segment_sum must budget tolerance for this split, not just
+for summation-order differences (BA parity tests use rtol >= 1e-4).
 """
 
 from __future__ import annotations

@@ -122,8 +122,13 @@ def match_precision_recall(
     n_correct = jnp.sum(correct).astype(jnp.int32)
     n_pred = jnp.sum(match_valid & mask_a).astype(jnp.int32)
     n_gt = jnp.sum(has_gt).astype(jnp.int32)
-    precision = jnp.where(n_pred > 0, n_correct / jnp.maximum(n_pred, 1), 1.0)
-    recall = jnp.where(n_gt > 0, n_correct / jnp.maximum(n_gt, 1), 1.0)
+    # Zero-denominator cases are NaN, not 1.0: a pair where nothing was
+    # predicted (or nothing has ground truth) carries no evidence and must
+    # not inflate aggregate means (evaluate_pairs excludes NaNs and counts
+    # the degenerate pairs separately).
+    nan = jnp.float32(jnp.nan)
+    precision = jnp.where(n_pred > 0, n_correct / jnp.maximum(n_pred, 1), nan)
+    recall = jnp.where(n_gt > 0, n_correct / jnp.maximum(n_gt, 1), nan)
     return MatchEval(precision, recall, n_correct, n_pred, n_gt)
 
 

@@ -73,3 +73,21 @@ class TestSortedGatherRows:
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(table)[np.asarray(seg)],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestPallasGate:
+    def test_unsorted_keys_never_select_windowed_path(self):
+        # ADVICE r1 (medium): cam-keyed reductions feed UNSORTED keys; the
+        # windowed multi-tile kernel (n_target > 1024) derives tile ranges
+        # from chunk endpoints and silently drops contributions for them.
+        # The gate must refuse that combination regardless of divisibility.
+        from fastmatch_tpu.ba.schur import _pallas_ok
+
+        assert not _pallas_ok(8192, 2048, sorted_keys=False)
+        assert not _pallas_ok(8192, 4096, sorted_keys=False)
+        # Sorted keys or small targets remain eligible (backend permitting:
+        # on CPU the gate is off anyway, so assert only the refusal above
+        # plus gate symmetry on the sorted flag).
+        if jax.default_backend() == "tpu":
+            assert _pallas_ok(8192, 2048, sorted_keys=True)
+            assert _pallas_ok(8192, 1024, sorted_keys=False)
