@@ -64,6 +64,11 @@ class SlamResult:
     loop_edges: list = field(default_factory=list)   # (frame, candidate)
     pgo_runs: int = 0
     odo_edges: list = field(default_factory=list)    # (i, j, Z R, Z t)
+    # Map from state frame id -> input sequence index. The host path
+    # accepts every frame (or raises), so it is the identity; the
+    # device path (slam_device) skips frames that fail relocalization,
+    # and evaluation must align trajectories through this.
+    frame_seq: list = field(default_factory=list)
 
 
 def _np(x):

@@ -1,0 +1,419 @@
+"""Device-resident SLAM tracking: ONE jitted step per frame (VERDICT r1 #1).
+
+Round-1's host-orchestrated loop (pipeline/slam.py) ran the per-frame inner
+work — match-vs-bank, PnP, triangulation gates, map append, loop-closure
+retrieval — as dozens of separate device dispatches with host readbacks
+between them. Measured end-to-end that was 1.7 frames/s against ~12 ms of
+actual device work per frame: the chip idled while the host orchestrated,
+and the ~450 us relay dispatch overhead multiplied by the dispatch count.
+
+This module owns the map as DEVICE state (`TrackState`, a donated pytree of
+fixed-capacity arrays) and fuses the whole per-frame pipeline into one
+`track_step` jit with a single small `TrackInfo` readback. Static shapes
+throughout — the step compiles once for a capacity configuration and never
+again (the round-1 per-frame recompile bug, VERDICT "what's weak" #3, is
+structurally impossible here).
+
+Loop-closure retrieval redesign (VERDICT r1 #2/#3): instead of stacking all
+old frames' raw descriptors into an ever-growing host-side bank (O(F*N)
+concatenation + a fresh XLA shape per frame), the MAP ITSELF is the
+retrieval index. The current frame's descriptors are matched once against
+the fixed-capacity landmark bank (also needed for new-landmark dedup), and
+matched landmarks vote for the frames that observe them through one
+segment-sum over the observation table — this is covisibility counting, so
+the same machinery drives covisible local-BA selection. Cost per frame is
+flat in sequence length; no recompiles; candidates with votes are
+guaranteed to have observations (votes are COUNTED from observations).
+
+Relocalization (VERDICT r1 #5): `track_step` takes the tracking window as a
+*traced* scalar, so relocalization is the same compiled step re-invoked
+with an unbounded window (match against the full map instead of the local
+window) — no second compile, no separate code path to diverge.
+
+Capability spec: BASELINE.json configs 3-4; SURVEY.md §4.2-B/D call stacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fastmatch_tpu.ba.problem import BAProblem, Observations
+from fastmatch_tpu.core.containers import Descriptors
+from fastmatch_tpu.core.lie import SE3
+from fastmatch_tpu.geometry.pnp import ransac_pnp
+from fastmatch_tpu.geometry.triangulation import triangulate_dlt
+from fastmatch_tpu.matching.matcher import match_pair
+
+# Sentinel window meaning "match against the whole map" (relocalization).
+FULL_WINDOW = 1 << 30
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerStatic:
+    """Static (trace-time) tracker configuration. Hashable; one compile per
+    distinct value. Capacities are powers of two (MXU/VPU friendly)."""
+
+    cap: int = 2048              # per-frame keypoint capacity
+    max_frames: int = 64
+    max_points: int = 8192
+    max_obs: int = 65536
+    ratio: float = 0.8
+    cross_check: bool = True
+    backend: str = "auto"
+    precision: str = "exact"
+    n_hyp: int = 256             # PnP hypotheses
+    min_inliers: int = 6
+    min_parallax_deg: float = 1.0
+    dedup_desc_d2: float = 0.35  # re-observation gate (MapConfig)
+    vote_desc_d2: float = 0.35   # retrieval vote gate (absolute d^2)
+    loop_gap: int = 12           # min frame separation for loop candidates
+    kf_tracked_thresh: int = 0   # 0 = every tracked frame is a keyframe
+    kf_max_gap: int = 5
+
+
+class TrackState(NamedTuple):
+    """Fixed-capacity device-side map + tracking context (donated pytree)."""
+
+    # Trajectory
+    R: jnp.ndarray             # (F, 3, 3) world->cam
+    t: jnp.ndarray             # (F, 3)
+    pose_mask: jnp.ndarray     # (F,) bool
+    # Landmarks
+    points: jnp.ndarray        # (P, 3)
+    pt_mask: jnp.ndarray       # (P,) bool
+    pt_desc: jnp.ndarray       # (P, 128)
+    pt_last_seen: jnp.ndarray  # (P,) i32 — frame of last PnP-inlier obs
+    # Observation table (normalized image coords)
+    obs_cam: jnp.ndarray       # (O,) i32
+    obs_pt: jnp.ndarray        # (O,) i32
+    obs_uv: jnp.ndarray        # (O, 2)
+    obs_mask: jnp.ndarray      # (O,) bool
+    # Counters (device scalars)
+    n_frames: jnp.ndarray      # i32 — next frame index to assign
+    n_points: jnp.ndarray      # i32
+    n_obs: jnp.ndarray         # i32
+    last_kf: jnp.ndarray       # i32
+    # Previous-frame context for two-view triangulation
+    prev_f: jnp.ndarray        # i32 — frame index of prev context
+    prev_xn: jnp.ndarray       # (C, 2) normalized keypoints
+    prev_desc: jnp.ndarray     # (C, 128)
+    prev_mask: jnp.ndarray     # (C,) bool
+    prev_lm: jnp.ndarray       # (C,) i32 landmark id or -1
+    # Camera intrinsics (fx, fy, cx, cy, k1, k2)
+    cam: jnp.ndarray           # (6,) f32
+
+
+class TrackInfo(NamedTuple):
+    """Per-frame readback — the ONE host<->device transfer per frame."""
+
+    ok: jnp.ndarray            # bool — PnP succeeded, frame accepted
+    n_candidates: jnp.ndarray  # i32 — 2D-3D match candidates
+    n_inliers: jnp.ndarray     # i32 — PnP inliers
+    is_kf: jnp.ndarray         # bool
+    R: jnp.ndarray             # (3, 3) accepted pose (undefined if !ok)
+    t: jnp.ndarray             # (3,)
+    votes: jnp.ndarray         # (4,) top loop-closure vote counts
+    cands: jnp.ndarray         # (4,) i32 corresponding frame indices
+    n_new_points: jnp.ndarray  # i32
+    n_points: jnp.ndarray      # i32
+    n_obs: jnp.ndarray         # i32
+    overflow: jnp.ndarray      # bool — a capacity append dropped rows
+
+
+def normalize_points(xy: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
+    """Pixels -> normalized camera coords, inverting radial distortion with
+    the same 10-step fixed point as pipeline/reconstruct._normalize (which
+    it matches bit-for-bit when k1 = k2 = 0: the iteration is then the
+    identity on xd)."""
+    f = cam[:2]
+    c = cam[2:4]
+    k1, k2 = cam[4], cam[5]
+    xd = (xy - c) / f
+
+    def body(_, xn):
+        r2 = jnp.sum(xn * xn, axis=-1, keepdims=True)
+        return xd / (1.0 + k1 * r2 + k2 * r2 * r2)
+
+    return jax.lax.fori_loop(0, 10, body, xd)
+
+
+def _match(da, ma, db, mb, cfg: TrackerStatic, ratio=None, cross_check=None):
+    return match_pair(
+        Descriptors(da, ma),
+        Descriptors(db, mb),
+        ratio=cfg.ratio if ratio is None else ratio,
+        cross_check=cfg.cross_check if cross_check is None else cross_check,
+        backend=cfg.backend,
+        precision=cfg.precision,
+    )
+
+
+def _append_rows(arrays, sel, rows, count):
+    """Scatter-append ``rows[sel]`` into fixed-capacity ``arrays`` starting
+    at ``count``. Returns (new_arrays, new_count, overflowed). Rows beyond
+    capacity are dropped (overflow flag raised; host surfaces it)."""
+    cap = arrays[0].shape[0]
+    slots = count + jnp.cumsum(sel.astype(jnp.int32)) - 1
+    slots = jnp.where(sel & (slots < cap), slots, cap)  # drop sentinel
+    out = [a.at[slots].set(r, mode="drop") for a, r in zip(arrays, rows)]
+    total = count + jnp.sum(sel, dtype=jnp.int32)
+    return out, jnp.minimum(total, cap), total > cap
+
+
+def init_state(cfg: TrackerStatic, camera) -> TrackState:
+    """Fresh all-empty state on the default device."""
+    F, P, O, C = cfg.max_frames, cfg.max_points, cfg.max_obs, cfg.cap
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (F, 3, 3))
+    k1 = getattr(camera, "k1", 0.0)
+    k2 = getattr(camera, "k2", 0.0)
+    cam = jnp.asarray(
+        [float(camera.fx), float(camera.fy), float(camera.cx),
+         float(camera.cy),
+         float(k1) if jnp.ndim(k1) == 0 else 0.0,
+         float(k2) if jnp.ndim(k2) == 0 else 0.0], jnp.float32)
+    return TrackState(
+        R=eye, t=jnp.zeros((F, 3), jnp.float32),
+        pose_mask=jnp.zeros(F, bool),
+        points=jnp.zeros((P, 3), jnp.float32),
+        pt_mask=jnp.zeros(P, bool),
+        pt_desc=jnp.zeros((P, 128), jnp.float32),
+        pt_last_seen=jnp.full(P, -(1 << 30), jnp.int32),
+        obs_cam=jnp.zeros(O, jnp.int32),
+        obs_pt=jnp.zeros(O, jnp.int32),
+        obs_uv=jnp.zeros((O, 2), jnp.float32),
+        obs_mask=jnp.zeros(O, bool),
+        n_frames=jnp.int32(0), n_points=jnp.int32(0),
+        n_obs=jnp.int32(0), last_kf=jnp.int32(0),
+        prev_f=jnp.int32(-1),
+        prev_xn=jnp.zeros((C, 2), jnp.float32),
+        prev_desc=jnp.zeros((C, 128), jnp.float32),
+        prev_mask=jnp.zeros(C, bool),
+        prev_lm=jnp.full(C, -1, jnp.int32),
+        cam=cam,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def track_step(
+    state: TrackState,
+    xy: jnp.ndarray,      # (C, 2) pixel keypoints
+    desc: jnp.ndarray,    # (C, 128)
+    mask: jnp.ndarray,    # (C,) bool
+    key: jax.Array,
+    thr_n: jnp.ndarray,   # squared reprojection threshold, normalized coords
+    window: jnp.ndarray,  # tracking window in frames (FULL_WINDOW = reloc)
+    cfg: TrackerStatic,
+) -> tuple[TrackState, TrackInfo]:
+    """Track one frame against the device-resident map.
+
+    Fuses: local-window 2D-3D matching -> RANSAC PnP -> keyframe decision ->
+    observation append + descriptor refresh -> full-bank dedup match ->
+    new-landmark two-view triangulation (cheirality/parallax/reprojection
+    gated) -> covisibility loop-closure voting. On PnP failure the state is
+    returned UNCHANGED (all writes are gated), so the host can re-invoke
+    with ``window=FULL_WINDOW`` to relocalize, at zero extra compiles.
+    """
+    C, P, F = cfg.cap, cfg.max_points, cfg.max_frames
+    f = state.n_frames
+    xn = normalize_points(xy, state.cam)
+
+    # ---- 1. 2D-3D tracking match against the local landmark window ----
+    lmask = state.pt_mask & (state.pt_last_seen >= f - window)
+    mt = _match(desc, mask, state.pt_desc, lmask, cfg)
+    lm = mt.idx.astype(jnp.int32)
+    X = state.points[lm]                       # (C, 3)
+
+    # ---- 2. RANSAC PnP ----
+    key, kp = jax.random.split(key)
+    pn = ransac_pnp(kp, X, xn, mt.valid, thr=thr_n, n_hyp=cfg.n_hyp,
+                    min_inliers=cfg.min_inliers)
+    ok = pn.ok
+    tracked = mt.valid & pn.inliers & ok       # (C,)
+    n_inl = jnp.sum(tracked, dtype=jnp.int32)
+
+    # ---- 3. keyframe decision ----
+    if cfg.kf_tracked_thresh <= 0:
+        is_kf = ok
+    else:
+        is_kf = ok & ((n_inl < cfg.kf_tracked_thresh)
+                      | (f - state.last_kf >= cfg.kf_max_gap))
+
+    # ---- 4. accept pose ----
+    R = state.R.at[f].set(jnp.where(ok, pn.pose.R, state.R[f]), mode="drop")
+    t = state.t.at[f].set(jnp.where(ok, pn.pose.t, state.t[f]), mode="drop")
+    pose_mask = state.pose_mask.at[f].set(
+        state.pose_mask[f] | ok, mode="drop")
+
+    # ---- 5. tracked-landmark bookkeeping (descriptor refresh, last-seen,
+    #         keyframe observations) ----
+    lm_sel = jnp.where(tracked, lm, P)
+    pt_desc = state.pt_desc.at[lm_sel].set(desc, mode="drop")
+    pt_last_seen = state.pt_last_seen.at[lm_sel].set(f, mode="drop")
+    fvec = jnp.broadcast_to(f, (C,)).astype(jnp.int32)
+    (obs_cam, obs_pt, obs_uv, obs_mask), n_obs, ovf1 = _append_rows(
+        [state.obs_cam, state.obs_pt, state.obs_uv, state.obs_mask],
+        tracked & is_kf,
+        [fvec, lm, xn, jnp.ones(C, bool)],
+        state.n_obs,
+    )
+    cur_lm = jnp.where(tracked, lm, -1)
+
+    # ---- 6. full-bank nearest-landmark match: dedup + retrieval votes ----
+    mf = _match(desc, mask, pt_desc, state.pt_mask, cfg,
+                ratio=1.0, cross_check=False)
+    known = mf.valid & (mf.dist < cfg.dedup_desc_d2)
+
+    # ---- 7. new landmarks vs previous frame (keyframes only) ----
+    free_cur = mask & ~tracked & ~known
+    free_prev = state.prev_mask & (state.prev_lm < 0)
+    m2 = _match(desc, free_cur, state.prev_desc, free_prev, cfg)
+    sel2 = m2.valid & (cur_lm < 0) & is_kf & (state.prev_f >= 0)
+    t2 = m2.idx.astype(jnp.int32)
+    xpn = state.prev_xn[t2]                    # (C, 2)
+    Rp = state.R[state.prev_f]
+    tp = state.t[state.prev_f]
+    R2 = jnp.stack([Rp, pn.pose.R])
+    t2v = jnp.stack([tp, pn.pose.t])
+    x2 = jnp.stack([xpn, xn])
+    pts, ok3 = triangulate_dlt(R2, t2v, x2, jnp.stack([sel2, sel2]))
+    keep = sel2 & ok3
+    # Cheirality + reprojection gates in both views.
+    for R_, t_, xv in ((Rp, tp, xpn), (pn.pose.R, pn.pose.t, xn)):
+        p = pts @ R_.T + t_
+        zp = jnp.maximum(p[:, 2:3], 1e-9)
+        keep &= p[:, 2] > 1e-3
+        keep &= jnp.sum((p[:, :2] / zp - xv) ** 2, -1) < thr_n
+    # Parallax gate between viewing rays.
+    c1 = -Rp.T @ tp
+    c2 = -pn.pose.R.T @ pn.pose.t
+    r1 = pts - c1
+    r2v = pts - c2
+    cosang = jnp.sum(r1 * r2v, -1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2v, axis=-1), 1e-12)
+    min_cos = math.cos(math.radians(cfg.min_parallax_deg))
+    keep &= cosang < min_cos
+
+    # Append new landmarks.
+    slots_p = state.n_points + jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slots_ok = keep & (slots_p < P)
+    slots = jnp.where(slots_ok, slots_p, P)
+    points = state.points.at[slots].set(pts, mode="drop")
+    pt_desc = pt_desc.at[slots].set(desc, mode="drop")
+    pt_mask = state.pt_mask.at[slots].set(True, mode="drop")
+    pt_last_seen = pt_last_seen.at[slots].set(f, mode="drop")
+    n_new = jnp.sum(keep, dtype=jnp.int32)
+    total_p = state.n_points + n_new
+    n_points = jnp.minimum(total_p, P)
+    ovf2 = total_p > P
+    cur_lm = jnp.where(slots_ok, slots_p, cur_lm)
+    # (The previous frame's keypoint->landmark table needs no update: its
+    # free list was consumed by this match and the context rolls below.)
+    # Observations for both views of the new landmarks.
+    (obs_cam, obs_pt, obs_uv, obs_mask), n_obs, ovf3 = _append_rows(
+        [obs_cam, obs_pt, obs_uv, obs_mask], slots_ok,
+        [jnp.broadcast_to(state.prev_f, (C,)).astype(jnp.int32),
+         jnp.where(slots_ok, slots_p, 0), xpn, jnp.ones(C, bool)],
+        n_obs)
+    (obs_cam, obs_pt, obs_uv, obs_mask), n_obs, ovf4 = _append_rows(
+        [obs_cam, obs_pt, obs_uv, obs_mask], slots_ok,
+        [fvec, jnp.where(slots_ok, slots_p, 0), xn, jnp.ones(C, bool)],
+        n_obs)
+
+    # ---- 8. loop-closure voting over the observation table ----
+    voted = mf.valid & (mf.dist < cfg.vote_desc_d2) & mask
+    matched_pt = jnp.zeros(P, bool).at[
+        jnp.where(voted, mf.idx, P)].set(True, mode="drop")
+    obs_vote = obs_mask & matched_pt[obs_pt]
+    votes = jax.ops.segment_sum(
+        obs_vote.astype(jnp.int32), obs_cam, num_segments=F)
+    fidx = jnp.arange(F, dtype=jnp.int32)
+    votes = jnp.where((fidx <= f - cfg.loop_gap) & pose_mask, votes, 0)
+    top_votes, top_cands = jax.lax.top_k(votes, 4)
+
+    # ---- 9. roll previous-frame context (only on success) ----
+    def roll(a, new):
+        return jnp.where(ok, new, a)
+
+    new_state = TrackState(
+        R=R, t=t, pose_mask=pose_mask,
+        points=points, pt_mask=pt_mask, pt_desc=pt_desc,
+        pt_last_seen=pt_last_seen,
+        obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv, obs_mask=obs_mask,
+        n_frames=jnp.where(ok, f + 1, f),
+        n_points=n_points, n_obs=n_obs,
+        last_kf=jnp.where(is_kf, f, state.last_kf),
+        prev_f=roll(state.prev_f, f),
+        prev_xn=roll(state.prev_xn, xn),
+        prev_desc=roll(state.prev_desc, desc),
+        prev_mask=roll(state.prev_mask, mask),
+        prev_lm=roll(state.prev_lm, cur_lm),
+        cam=state.cam,
+    )
+    # On failure every table write above was already gated to a no-op (sel
+    # masks fold `ok`), so state equality holds exactly.
+    info = TrackInfo(
+        ok=ok, n_candidates=jnp.sum(mt.valid, dtype=jnp.int32),
+        n_inliers=n_inl, is_kf=is_kf, R=pn.pose.R, t=pn.pose.t,
+        votes=top_votes, cands=top_cands, n_new_points=n_new,
+        n_points=n_points, n_obs=n_obs,
+        overflow=ovf1 | ovf2 | ovf3 | ovf4,
+    )
+    return new_state, info
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_hyp", "min_inliers"))
+def loop_verify(
+    state: TrackState,
+    xy: jnp.ndarray,
+    desc: jnp.ndarray,
+    mask: jnp.ndarray,
+    cand: jnp.ndarray,   # i32 candidate frame index
+    key: jax.Array,
+    thr_n: jnp.ndarray,
+    cfg: TrackerStatic,
+    n_hyp: int = 256,
+    min_inliers: int = 10,
+):
+    """Geometric verification of a loop-closure candidate: PnP of the
+    current frame against the landmarks the candidate frame observes.
+    Returns (PnPResult, n_match_candidates)."""
+    P = cfg.max_points
+    xn = normalize_points(xy, state.cam)
+    obs_sel = state.obs_mask & (state.obs_cam == cand)
+    lm_mask = jnp.zeros(P, bool).at[
+        jnp.where(obs_sel, state.obs_pt, P)].set(True, mode="drop")
+    lm_mask = lm_mask & state.pt_mask
+    m = _match(desc, mask, state.pt_desc, lm_mask, cfg)
+    X = state.points[m.idx.astype(jnp.int32)]
+    pn = ransac_pnp(key, X, xn, m.valid, thr=thr_n, n_hyp=n_hyp,
+                    min_inliers=min_inliers)
+    return pn, jnp.sum(m.valid, dtype=jnp.int32)
+
+
+def ba_problem_from_state(state: TrackState, f: int | jnp.ndarray,
+                          window: int | jnp.ndarray,
+                          free_second_cam: bool = False) -> BAProblem:
+    """Local-window BA problem over the device state (no host round-trip).
+
+    Cameras outside [f - window, f] and the gauge pair (0, 1) are frozen;
+    points not seen within the window are frozen too.
+    """
+    idx = jnp.arange(state.pose_mask.shape[0], dtype=jnp.int32)
+    n_gauge = 1 if free_second_cam else 2
+    fixed = state.pose_mask & ((idx < n_gauge) | (idx < f - window))
+    pt_local = state.pt_mask & (state.pt_last_seen >= f - window)
+    return BAProblem(
+        poses=SE3(state.R, state.t),
+        points=state.points,
+        obs=Observations(state.obs_cam, state.obs_pt, state.obs_uv,
+                         state.obs_mask),
+        cam_mask=state.pose_mask,
+        pt_mask=pt_local,
+        fixed_cams=fixed,
+    )
