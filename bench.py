@@ -54,16 +54,27 @@ def bench_cpu_cv2(raw, repeats=2):
     return 1.0 / dt
 
 
-def bench_tpu_pallas(da, db, repeats=20, precision="exact"):
+def bench_tpu_pallas(da, db, repeats=20, precision="exact", fused=True):
     import jax
-    from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
 
-    @jax.jit
-    def run(da, db):
-        return jax.vmap(
-            lambda a, b: match_pair_pallas(a, b, interpret=False,
-                                           precision=precision)
-        )(da, db)
+    if fused:
+        # Round-2 headline path: ONE grid step per pair, ratio + mutual
+        # cross-check in-kernel (kernels/batch_match.py) — no per-row-tile
+        # launch overhead, no XLA gather epilogue.
+        from fastmatch_tpu.kernels.batch_match import match_batch_fused
+
+        @jax.jit
+        def run(da, db):
+            return match_batch_fused(da, db, fast=precision == "fast")
+    else:
+        from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
+
+        @jax.jit
+        def run(da, db):
+            return jax.vmap(
+                lambda a, b: match_pair_pallas(a, b, interpret=False,
+                                               precision=precision)
+            )(da, db)
 
     out = run(da, db)
     jax.block_until_ready(out)  # compile + settle queue
@@ -102,20 +113,28 @@ def main():
     # (BASELINE.json:5) for its throughput to count as the headline.
     import jax.numpy as jnp
     from fastmatch_tpu.core.containers import Descriptors
-    from fastmatch_tpu.kernels.distance_topk import match_pair_pallas
     from fastmatch_tpu.matching.matcher import match_pair_jnp
     from fastmatch_tpu.utils.evaluation import match_agreement
 
+    from fastmatch_tpu.kernels.batch_match import match_batch_fused
+
     one = lambda d, i: Descriptors(d.data[i], d.mask[i])
     ref = match_pair_jnp(one(da, 0), one(db, 0))
-    fast = match_pair_pallas(one(da, 0), one(db, 0), precision="fast",
-                             interpret=False)
-    agreement = float(match_agreement(ref.idx, ref.valid, fast.idx, fast.valid,
-                                      mask=da.mask[0]))
+    fast = match_batch_fused(
+        Descriptors(da.data[:1], da.mask[:1]),
+        Descriptors(db.data[:1], db.mask[:1]), fast=True)
+    agreement = float(match_agreement(ref.idx, ref.valid, fast.idx[0],
+                                      fast.valid[0], mask=da.mask[0]))
     assert agreement >= 0.99, f"fast-path agreement {agreement} < 0.99"
+    # The exact fused path must agree with the anchor bit-for-bit.
+    exact = match_batch_fused(
+        Descriptors(da.data[:1], da.mask[:1]),
+        Descriptors(db.data[:1], db.mask[:1]), fast=False)
+    assert np.array_equal(np.asarray(exact.valid[0]), np.asarray(ref.valid))
 
     tpu_fast = bench_tpu_pallas(da, db, precision="fast")
     tpu_exact = bench_tpu_pallas(da, db, precision="exact")
+    vmapped_fast = bench_tpu_pallas(da, db, precision="fast", fused=False)
     cpu_pairs_s = bench_cpu_cv2(raw[:8])  # cv2 is slow; subsample pairs
 
     print(
@@ -126,6 +145,7 @@ def main():
                 "unit": "image pairs/s (2k x 2k 128-d, ratio+cross-check, bf16-fast)",
                 "vs_baseline": round(tpu_fast / cpu_pairs_s, 2),
                 "exact_pairs_per_s": round(tpu_exact, 2),
+                "vmapped_per_pair_pairs_per_s": round(vmapped_fast, 2),
                 "fast_agreement_vs_exact": round(agreement, 5),
             }
         )

@@ -159,10 +159,28 @@ def match_batch(
 ) -> Matches:
     """Batched matcher (T6): containers carry a leading batch axis (B, C, ...).
 
-    BASELINE.json config 2: 64 pairs vmapped on one chip. Independent pairs
-    are the data-parallel unit — sharding the batch axis across chips is
-    handled in dist/ (T16).
+    BASELINE.json config 2: 64 pairs on one chip. Independent pairs are the
+    data-parallel unit — sharding the batch axis across chips is handled in
+    dist/ (T16).
+
+    The pallas backend routes VMEM-resident banks to the fully-fused
+    batched kernel (kernels/batch_match.py: one grid step per pair, ratio +
+    cross-check in-kernel — measured 1.5-2x over vmapping the per-pair
+    kernel, which pays per-row-tile grid-step launch overhead plus an HBM
+    gather for the mutual check). Larger banks fall back to the vmapped
+    per-pair chunked path.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+    if backend == "pallas":
+        from fastmatch_tpu.kernels.batch_match import (
+            MAX_RESIDENT_M, match_batch_fused)
+
+        if desc_b.data.shape[-2] <= MAX_RESIDENT_M:
+            return match_batch_fused(
+                desc_a, desc_b, ratio=ratio, cross_check=cross_check,
+                fast=precision == "fast",
+                interpret=jax.default_backend() == "cpu")
     fn = partial(match_pair, ratio=ratio, cross_check=cross_check,
                  backend=backend, precision=precision)
     return jax.vmap(fn)(desc_a, desc_b)
