@@ -213,6 +213,19 @@ def cmd_reconstruct(args):
     )
 
 
+def _parse_mesh(spec: str) -> dict:
+    """'bank=4' / 'data=2,bank=4' -> {'n_data': 2, 'n_bank': 4}."""
+    out = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in ("data", "bank") or not v.strip().isdigit():
+            raise SystemExit(f"bad --mesh spec {spec!r}; use e.g. "
+                             "'bank=4' or 'data=2,bank=4'")
+        out["n_" + k] = int(v)
+    return out
+
+
 def cmd_slam(args):
     from fastmatch_tpu.pipeline.slam import SlamConfig, slam
 
@@ -228,7 +241,30 @@ def cmd_slam(args):
         from fastmatch_tpu.utils.metrics import MetricsLogger
 
         metrics = MetricsLogger(path=args.metrics)
-    out = slam(feats, cam, cfg, scfg, metrics=metrics)
+    engine = args.engine
+    if engine == "auto":
+        import jax
+
+        engine = "device" if jax.default_backend() != "cpu" else "host"
+    if args.mesh:
+        # Config-5 product path: sharded retrieval + distributed BA +
+        # overlap + periodic checkpoint on a (data, bank) mesh.
+        from fastmatch_tpu.dist.pipeline import DistConfig, slam_distributed
+
+        dcfg = DistConfig(
+            **_parse_mesh(args.mesh),
+            checkpoint_dir=args.checkpoint,
+            checkpoint_interval=args.checkpoint_interval,
+            overlap=not args.no_overlap,
+        )
+        out = slam_distributed(feats, cam, cfg, scfg, dcfg, metrics=metrics,
+                               resume_from=args.resume)
+    elif engine == "device":
+        from fastmatch_tpu.pipeline.slam_device import slam_device
+
+        out = slam_device(feats, cam, cfg, scfg, metrics=metrics)
+    else:
+        out = slam(feats, cam, cfg, scfg, metrics=metrics)
     if metrics:
         metrics.close()
     rec = out.rec
@@ -354,6 +390,23 @@ def main(argv=None):
     sp.add_argument("--window", type=int, default=8)
     sp.add_argument("--loop-gap", type=int, default=12)
     sp.add_argument("--loop-min-votes", type=int, default=25)
+    sp.add_argument("--engine", choices=("auto", "device", "host"),
+                    default="auto",
+                    help="device = one fused jitted step/frame (default on "
+                    "TPU); host = round-1 orchestrated loop")
+    sp.add_argument("--mesh",
+                    help="multi-chip config-5 pipeline, e.g. 'bank=4' or "
+                    "'data=1,bank=8': ring-sharded retrieval + distributed "
+                    "BA + overlap on a (data, bank) device mesh")
+    sp.add_argument("--no-overlap", action="store_true",
+                    help="with --mesh: disable retrieval/BA overlap "
+                    "(serial schedule, identical results)")
+    sp.add_argument("--checkpoint-interval", type=int, default=0,
+                    help="with --mesh: snapshot TrackState every N accepted "
+                    "frames into --checkpoint (resumable via --resume)")
+    sp.add_argument("--resume",
+                    help="with --mesh: resume from a --checkpoint dir "
+                    "(bit-deterministic continuation)")
     sp.add_argument("--out")
     sp.add_argument("--trajectory", help="write TUM-format trajectory here")
     sp.add_argument("--checkpoint")

@@ -95,15 +95,27 @@ def ba_solve_sharded(
     max_iters: int = 20,
     pcg_iters: int = 40,
     huber_delta_static: float | None = None,
+    presorted: bool = False,
 ) -> BAResult:
-    """Run LM-BA with observations sharded over mesh axis ``bank``."""
+    """Run LM-BA with observations sharded over mesh axis ``bank``.
+
+    ``presorted``: the caller has already laid the table out as equal,
+    per-shard pt-sorted slices — e.g. covisibility map blocks from
+    dist/partition.partition_problem — so skip the global pad+sort (which
+    would scatter block rows across all devices again)."""
     from fastmatch_tpu.ba.lm import sort_obs_by_point
 
     n_shards = mesh.shape["bank"]
-    # Pad first (padding appends pt_idx-0 rows), THEN pt-sort globally:
-    # contiguous shards of a sorted table stay sorted, which the Pallas
-    # segment kernels rely on per-device.
-    obs = shard_observations(problem.obs, n_shards)
-    problem = sort_obs_by_point(problem._replace(obs=obs))
+    if presorted:
+        if problem.obs.capacity % n_shards:
+            raise ValueError(
+                f"presorted obs capacity {problem.obs.capacity} must be a "
+                f"multiple of the bank axis size {n_shards}")
+    else:
+        # Pad first (padding appends pt_idx-0 rows), THEN pt-sort globally:
+        # contiguous shards of a sorted table stay sorted, which the Pallas
+        # segment kernels rely on per-device.
+        obs = shard_observations(problem.obs, n_shards)
+        problem = sort_obs_by_point(problem._replace(obs=obs))
     fn = _sharded_solver(mesh, max_iters, pcg_iters, huber_delta_static)
     return fn(problem)

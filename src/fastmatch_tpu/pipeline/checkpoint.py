@@ -43,6 +43,67 @@ def save_map(rec, path: str):
     ckptr.save(path, _state_dict(rec), force=True)
 
 
+def _edges_to_arrays(edges):
+    if not edges:
+        return {
+            "i": np.zeros(0, np.int32), "j": np.zeros(0, np.int32),
+            "R": np.zeros((0, 3, 3), np.float32),
+            "t": np.zeros((0, 3), np.float32),
+        }
+    return {
+        "i": np.array([e[0] for e in edges], np.int32),
+        "j": np.array([e[1] for e in edges], np.int32),
+        "R": np.stack([e[2] for e in edges]).astype(np.float32),
+        "t": np.stack([e[3] for e in edges]).astype(np.float32),
+    }
+
+
+def _edges_from_arrays(d):
+    return [(int(i), int(j), R, t) for i, j, R, t
+            in zip(np.asarray(d["i"]), np.asarray(d["j"]),
+                   np.asarray(d["R"]), np.asarray(d["t"]))]
+
+
+def save_track_state(state, book: dict, out, path: str):
+    """Checkpoint a device-resident SLAM run (pipeline/tracker.TrackState +
+    the driver bookkeeping + accumulated pose-graph edges). Together with
+    the driver's fold_in(seed, frame) key discipline this makes resume
+    bit-deterministic with the uninterrupted run (tested)."""
+    import orbax.checkpoint as ocp
+
+    tree = {
+        "state": {k: np.asarray(v) for k, v in state._asdict().items()},
+        "book": {k: np.asarray(v) for k, v in book.items()},
+        "odo": _edges_to_arrays(out.odo_edges),
+        "loops": _edges_to_arrays(out.loop_edges),
+        "frame_seq": np.array(out.frame_seq, np.int32),
+        "pgo_runs": np.int32(out.pgo_runs),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def restore_track_state(path: str):
+    """Restore (state, book, out) for drive_slam(resume=...). ``out.rec``
+    is left as None — the driver materializes it at the end of the run."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from fastmatch_tpu.pipeline.slam import SlamResult
+    from fastmatch_tpu.pipeline.tracker import TrackState
+
+    tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    st = TrackState(**{k: jnp.asarray(v) for k, v in tree["state"].items()})
+    book = {k: (np.asarray(v) if np.ndim(v) else np.asarray(v).item())
+            for k, v in tree["book"].items()}
+    out = SlamResult(rec=None)
+    out.odo_edges = _edges_from_arrays(tree["odo"])
+    out.loop_edges = _edges_from_arrays(tree["loops"])
+    out.frame_seq = [int(x) for x in np.asarray(tree["frame_seq"])]
+    out.pgo_runs = int(tree["pgo_runs"])
+    return st, book, out
+
+
 def restore_map(rec, path: str, strict_config: bool = True):
     """Restore map state into ``rec`` (a fresh Reconstruction with matching
     capacities and config). Returns rec."""

@@ -56,6 +56,10 @@ class SlamConfig:
     # the dense-mapping behavior).
     kf_tracked_thresh: int = 0
     kf_max_gap: int = 5
+    # Covisibility-gated local BA (device engine only): frames sharing >=
+    # this many PnP-inlier landmarks with the current frame stay free in
+    # interval BA regardless of age; 0 = time-window selection.
+    ba_covis_thresh: int = 0
 
 
 @dataclass

@@ -13,8 +13,14 @@ the readback says so:
   geometrically verifies; on success the pose graph is solved host-side
   (posegraph/pgo.py — edge lists are genuinely dynamic) and corrected poses
   are written back into device state.
-- Every ``ba.interval`` frames -> `ba_solve` directly ON the device state
+- Every ``ba.interval`` frames -> BA directly ON the device state
   (ba_problem_from_state) — no host materialization of the map.
+
+The loop is parameterized by `SlamHooks` so the distributed pipeline
+(dist/pipeline.py) can swap the retrieval and BA stages for their sharded
+counterparts and overlap them, without duplicating the driver. Randomness
+is keyed per sequence index (`fold_in(seed_key, fi)`), so a checkpointed
+run resumes bit-deterministically.
 
 The map state lives on device for the whole sequence; the single full
 readback happens at the end when materializing the `Reconstruction`.
@@ -43,6 +49,30 @@ from fastmatch_tpu.pipeline.tracker import (
     track_step,
 )
 from fastmatch_tpu.posegraph.pgo import PoseGraph, pgo_solve
+
+
+class SlamHooks:
+    """Stage-injection points for the driver loop (see dist/pipeline.py for
+    the sharded implementation)."""
+
+    def retrieval(self, state: TrackState, desc, mask):
+        """Full-bank nearest-landmark match for the NEXT frame, dispatched
+        early so it overlaps this frame's BA. None = compute inside
+        track_step (single-device fused path)."""
+        return None
+
+    def ba(self, state: TrackState, fid, window, cfg, camera,
+           covis=None, covis_thresh: int = 0) -> TrackState:
+        prob = ba_problem_from_state(state, fid, window, covis=covis,
+                                     covis_thresh=covis_thresh)
+        res = ba_solve(prob, max_iters=cfg.ba.max_iters,
+                       pcg_iters=cfg.ba.pcg_iters,
+                       huber_delta_static=cfg.ba.huber_px / float(camera.fx))
+        return state._replace(R=res.poses.R, t=res.poses.t, points=res.points)
+
+    def after_frame(self, state: TrackState, fid: int, fi: int, out, book):
+        """Called after each accepted frame with the driver bookkeeping
+        dict (checkpoint hook: save_track_state(state, book, out, path))."""
 
 
 def _static_from_cfg(cfg: PipelineConfig, scfg: SlamConfig,
@@ -99,11 +129,10 @@ def _bootstrap_host(features, camera, cfg, scfg, key):
     tr = idx[q]
     x1n = _normalize(xy1[q], camera)
     x0n = _normalize(xy0[tr], camera)
-    key, k1 = jax.random.split(key)
     x0p, x1p, bmask = _pad_for_ransac(
         [x0n.astype(np.float32), x1n.astype(np.float32)], len(q))
     res = ransac_essential(
-        k1, jnp.asarray(x0p), jnp.asarray(x1p), jnp.asarray(bmask),
+        key, jnp.asarray(x0p), jnp.asarray(x1p), jnp.asarray(bmask),
         thr=thr_n, n_hyp=cfg.ransac.n_hyp,
         min_inliers=cfg.ransac.min_inliers)
     if not bool(res.ok):
@@ -123,7 +152,7 @@ def _bootstrap_host(features, camera, cfg, scfg, key):
         rec.run_ba(free_second_cam=True)
     kp_lm1 = np.full(features[1][0].shape[0], -1, np.int64)
     kp_lm1[qi] = ids
-    return rec, kp_lm1, key
+    return rec, kp_lm1
 
 
 def _state_from_bootstrap(rec, features, kp_lm1, camera,
@@ -170,16 +199,9 @@ def _rec_from_state(state: TrackState, cfg, camera) -> Reconstruction:
     return rec
 
 
-def _run_ba_device(state: TrackState, f, window, cfg,
-                   camera) -> TrackState:
-    prob = ba_problem_from_state(state, f, window)
-    res = ba_solve(prob, max_iters=cfg.ba.max_iters,
-                   pcg_iters=cfg.ba.pcg_iters,
-                   huber_delta_static=cfg.ba.huber_px / float(camera.fx))
-    return state._replace(R=res.poses.R, t=res.poses.t, points=res.points)
-
-
-def _run_pgo(state: TrackState, odo_edges, loop_edges) -> TrackState:
+def _run_pgo(state: TrackState, odo_edges, loop_edges, scfg) -> TrackState:
+    """Pose-graph correction from recorded odometry + loop edges; returns
+    state with corrected poses."""
     n = state.pose_mask.shape[0]
     ei, ej, ZR, Zt, w = [], [], [], [], []
     for (i, j, R_, t_) in odo_edges:
@@ -198,10 +220,13 @@ def _run_pgo(state: TrackState, odo_edges, loop_edges) -> TrackState:
         pose_mask=jnp.asarray(pose_mask),
         fixed=jnp.asarray(fixed & pose_mask),
     )
-    return g
+    res = pgo_solve(g, max_iters=scfg.pgo_iters,
+                    huber_delta_static=scfg.loop_kernel_delta,
+                    kernel="geman")
+    return state._replace(R=res.poses.R, t=res.poses.t)
 
 
-def slam_device(
+def drive_slam(
     features: list,
     camera: Pinhole,
     cfg: PipelineConfig = PipelineConfig(),
@@ -209,47 +234,91 @@ def slam_device(
     seed: int = 0,
     metrics=None,
     reloc_max_failures: int = 3,
+    hooks: SlamHooks | None = None,
+    resume=None,
 ) -> SlamResult:
-    """Device-resident SLAM over a feature sequence (same API/result as
-    pipeline/slam.slam). One jitted step + one small readback per frame."""
+    """The shared driver loop (see module docstring). ``resume``: an
+    optional (state, book, out) triple from checkpoint.restore_track_state
+    — the loop continues from the recorded sequence position, and because
+    per-frame keys are fold_in(seed, fi), the continuation is
+    bit-deterministic with the uninterrupted run."""
+    hooks = hooks or SlamHooks()
     cap = max(int(f[0].shape[0]) for f in features)
     cap = 1 << (cap - 1).bit_length()  # next power of two
     tcfg = _static_from_cfg(cfg, scfg, cap)
     thr_n = jnp.float32((cfg.ransac.thr_px / float(camera.fx)) ** 2)
-    key = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed)
 
-    rec0, kp_lm1, key = _bootstrap_host(features, camera, cfg, scfg, key)
-    state = _state_from_bootstrap(rec0, features, kp_lm1, camera, tcfg)
-    out = SlamResult(rec=rec0)
-    Z0 = SE3(jnp.asarray(rec0.R[1]), jnp.asarray(rec0.t[1]))
-    out.odo_edges.append((1, 0, _np(Z0.R), _np(Z0.t)))
+    if resume is None:
+        boot_key = jax.random.fold_in(base_key, 1)
+        rec0, kp_lm1 = _bootstrap_host(features, camera, cfg, scfg, boot_key)
+        state = _state_from_bootstrap(rec0, features, kp_lm1, camera, tcfg)
+        out = SlamResult(rec=rec0)
+        Z0 = SE3(jnp.asarray(rec0.R[1]), jnp.asarray(rec0.t[1]))
+        out.odo_edges.append((1, 0, _np(Z0.R), _np(Z0.t)))
+        out.frame_seq = [0, 1]
+        book = {
+            "prev_pose_R": rec0.R[1].copy(), "prev_pose_t": rec0.t[1].copy(),
+            "prev_fid": 1, "next_fid": 2, "next_fi": 2,
+            "last_closure": -(1 << 30),
+        }
+    else:
+        state, book, out = resume
 
     window = jnp.int32(scfg.window)
-    prev_pose = (rec0.R[1].copy(), rec0.t[1].copy())
-    prev_fid = 1
+    prev_pose = (book["prev_pose_R"], book["prev_pose_t"])
+    prev_fid = int(book["prev_fid"])
+    next_fid = int(book["next_fid"])
+    start_fi = int(book["next_fi"])
+    last_closure = int(book["last_closure"])
     consec_fail = 0
-    last_closure = -(1 << 30)
-    # State frame ids advance only on ACCEPTED frames; a sequence frame
-    # that fails tracking+relocalization consumes no id. frame_seq maps
-    # state frame id -> input sequence index (identity until a failure).
-    out.frame_seq = [0, 1]
-    next_fid = 2
 
-    for fi in range(2, len(features)):
-        xy, d, m = _pad_frame(*features[fi], cap)
-        xyj, dj, mj = jnp.asarray(xy), jnp.asarray(d), jnp.asarray(m)
-        key, k1 = jax.random.split(key)
-        state, info = track_step(state, xyj, dj, mj, k1, thr_n, window, tcfg)
+    frames = {}
+
+    def frame_at(fi):
+        if fi not in frames:
+            frames.clear()  # keep at most one frame resident
+            xy, d, m = _pad_frame(*features[fi], cap)
+            frames[fi] = (jnp.asarray(xy), jnp.asarray(d), jnp.asarray(m))
+        return frames[fi]
+
+    # Retrieval prefetch: mf for frame fi is dispatched during frame fi-1's
+    # BA/PGO work (overlap; see SlamHooks.retrieval). Correctness: mf
+    # depends only on pt_desc/pt_mask, which change only inside track_step
+    # — never in BA (points/poses) or PGO (poses) — so the prefetched match
+    # is EXACTLY what the fused path would compute.
+    mf_next = None
+    if start_fi < len(features):
+        _, dj0, mj0 = frame_at(start_fi)
+        mf_next = hooks.retrieval(state, dj0, mj0)
+
+    for fi in range(start_fi, len(features)):
+        xyj, dj, mj = frame_at(fi)
+        mf = mf_next
+        fkey = jax.random.fold_in(base_key, fi)
+        state, info = track_step(state, xyj, dj, mj,
+                                 jax.random.fold_in(fkey, 0),
+                                 thr_n, window, tcfg, mf=mf)
+        # ONE host<->device transfer for the whole readback: per-field
+        # access would pay the ~450 us relay latency ~10x per frame.
+        info = jax.device_get(info)
         ok = bool(info.ok)
         if not ok:
             # Relocalize: same compiled step, unbounded window.
-            key, k2 = jax.random.split(key)
-            state, info = track_step(state, xyj, dj, mj, k2, thr_n,
-                                     jnp.int32(FULL_WINDOW), tcfg)
+            state, info = track_step(state, xyj, dj, mj,
+                                     jax.random.fold_in(fkey, 1),
+                                     thr_n, jnp.int32(FULL_WINDOW), tcfg,
+                                     mf=mf)
+            info = jax.device_get(info)
             ok = bool(info.ok)
             if metrics:
                 metrics.log("relocalize", frame=fi, success=ok,
                             n_inliers=int(info.n_inliers))
+        # Prefetch next frame's retrieval against the post-step bank,
+        # BEFORE any BA/PGO below is dispatched or read back.
+        if fi + 1 < len(features):
+            _, nd, nm = frame_at(fi + 1)
+            mf_next = hooks.retrieval(state, nd, nm)
         if not ok:
             consec_fail += 1
             if consec_fail > reloc_max_failures:
@@ -268,11 +337,13 @@ def slam_device(
         fid = next_fid
         next_fid += 1
         out.frame_seq.append(fi)
-        Rf, tf = _np(info.R), _np(info.t)
-        Tf = SE3(jnp.asarray(Rf), jnp.asarray(tf))
-        Tp = SE3(jnp.asarray(prev_pose[0]), jnp.asarray(prev_pose[1]))
-        Zr = Tf.compose(Tp.inverse())
-        out.odo_edges.append((fid, prev_fid, _np(Zr.R), _np(Zr.t)))
+        # Odometry edge Z = T_f T_prev^-1, composed in host numpy (info is
+        # already host-side; no device round-trip per frame).
+        Rf, tf = np.asarray(info.R), np.asarray(info.t)
+        Rp_, tp_ = prev_pose
+        ZR = Rf @ Rp_.T
+        Zt = tf - ZR @ tp_
+        out.odo_edges.append((fid, prev_fid, ZR, Zt))
         prev_pose = (Rf, tf)
         prev_fid = fid
         if metrics:
@@ -293,9 +364,9 @@ def slam_device(
         if (votes[0] >= scfg.loop_min_votes
                 and fid - last_closure >= scfg.loop_gap):
             cand = int(cands[0])
-            key, k3 = jax.random.split(key)
             pl, _ncand = loop_verify(state, xyj, dj, mj, jnp.int32(cand),
-                                     k3, thr_n, tcfg)
+                                     jax.random.fold_in(fkey, 2),
+                                     thr_n, tcfg)
             if bool(pl.ok):
                 Tc = SE3(state.R[cand], state.t[cand])
                 Zl = pl.pose.compose(Tc.inverse())
@@ -303,25 +374,42 @@ def slam_device(
                 if metrics:
                     metrics.log("loop_closure", frame=fi, candidate=cand,
                                 inliers=int(pl.n_inliers))
-                g = _run_pgo(state, out.odo_edges, out.loop_edges)
-                res = pgo_solve(g, max_iters=scfg.pgo_iters,
-                                huber_delta_static=scfg.loop_kernel_delta,
-                                kernel="geman")
-                state = state._replace(R=res.poses.R, t=res.poses.t)
+                state = _run_pgo(state, out.odo_edges, out.loop_edges, scfg)
                 out.pgo_runs += 1
-                state = _run_ba_device(state, jnp.int32(fid),
-                                       jnp.int32(FULL_WINDOW), cfg, camera)
+                state = hooks.ba(state, jnp.int32(fid),
+                                 jnp.int32(FULL_WINDOW), cfg, camera)
                 pr = _np(state.R[fid]); pt = _np(state.t[fid])
                 prev_pose = (pr, pt)
                 closed = True
                 last_closure = fid
         if cfg.ba.interval and fid % cfg.ba.interval == 0 and not closed:
-            state = _run_ba_device(state, jnp.int32(fid), window, cfg,
-                                   camera)
+            state = hooks.ba(state, jnp.int32(fid), window, cfg, camera,
+                             covis=info.covis,
+                             covis_thresh=scfg.ba_covis_thresh)
             pr = _np(state.R[fid]); pt = _np(state.t[fid])
             prev_pose = (pr, pt)
 
-    state = _run_ba_device(state, state.n_frames, jnp.int32(FULL_WINDOW),
-                           cfg, camera)
+        book.update(prev_pose_R=prev_pose[0], prev_pose_t=prev_pose[1],
+                    prev_fid=prev_fid, next_fid=next_fid, next_fi=fi + 1,
+                    last_closure=last_closure)
+        hooks.after_frame(state, fid, fi, out, book)
+
+    state = hooks.ba(state, state.n_frames, jnp.int32(FULL_WINDOW),
+                     cfg, camera)
     out.rec = _rec_from_state(state, cfg, camera)
     return out
+
+
+def slam_device(
+    features: list,
+    camera: Pinhole,
+    cfg: PipelineConfig = PipelineConfig(),
+    scfg: SlamConfig = SlamConfig(),
+    seed: int = 0,
+    metrics=None,
+    reloc_max_failures: int = 3,
+) -> SlamResult:
+    """Device-resident SLAM over a feature sequence (same API/result as
+    pipeline/slam.slam). One jitted step + one small readback per frame."""
+    return drive_slam(features, camera, cfg, scfg, seed=seed,
+                      metrics=metrics, reloc_max_failures=reloc_max_failures)

@@ -124,6 +124,8 @@ class TrackInfo(NamedTuple):
     n_points: jnp.ndarray      # i32
     n_obs: jnp.ndarray         # i32
     overflow: jnp.ndarray      # bool — a capacity append dropped rows
+    covis: jnp.ndarray         # (F,) i32 — current frame's covisibility row
+    #                            (shared PnP-inlier landmarks per frame)
 
 
 def normalize_points(xy: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
@@ -209,6 +211,7 @@ def track_step(
     thr_n: jnp.ndarray,   # squared reprojection threshold, normalized coords
     window: jnp.ndarray,  # tracking window in frames (FULL_WINDOW = reloc)
     cfg: TrackerStatic,
+    mf=None,              # optional external full-bank match (Matches)
 ) -> tuple[TrackState, TrackInfo]:
     """Track one frame against the device-resident map.
 
@@ -218,6 +221,14 @@ def track_step(
     gated) -> covisibility loop-closure voting. On PnP failure the state is
     returned UNCHANGED (all writes are gated), so the host can re-invoke
     with ``window=FULL_WINDOW`` to relocalize, at zero extra compiles.
+
+    ``mf``: the full-bank nearest-landmark match (ratio=1.0, no cross
+    check) may be computed EXTERNALLY and passed in — the distributed
+    pipeline (dist/pipeline.py) runs it as the ring-sharded matcher over
+    the bank axis and overlaps it with the previous frame's BA. Note the
+    external match sees the bank BEFORE this step's descriptor refresh
+    (one-step-stale appearance, standard mapping-thread lag); None keeps
+    the fully-fused single-device behavior.
     """
     C, P, F = cfg.cap, cfg.max_points, cfg.max_frames
     f = state.n_frames
@@ -265,8 +276,14 @@ def track_step(
     cur_lm = jnp.where(tracked, lm, -1)
 
     # ---- 6. full-bank nearest-landmark match: dedup + retrieval votes ----
-    mf = _match(desc, mask, pt_desc, state.pt_mask, cfg,
-                ratio=1.0, cross_check=False)
+    # Matched against the PRE-refresh bank (state.pt_desc, not pt_desc):
+    # an externally-prefetched mf (dist/pipeline.py dispatches it right
+    # after the previous step, before this frame's refresh exists) then
+    # sees byte-identical bank contents, so the fused and sharded paths
+    # make identical decisions — tested in test_dist_pipeline.
+    if mf is None:
+        mf = _match(desc, mask, state.pt_desc, state.pt_mask, cfg,
+                    ratio=1.0, cross_check=False)
     known = mf.valid & (mf.dist < cfg.dedup_desc_d2)
 
     # ---- 7. new landmarks vs previous frame (keyframes only) ----
@@ -325,7 +342,7 @@ def track_step(
         [fvec, jnp.where(slots_ok, slots_p, 0), xn, jnp.ones(C, bool)],
         n_obs)
 
-    # ---- 8. loop-closure voting over the observation table ----
+    # ---- 8. loop-closure voting + covisibility over the obs table ----
     voted = mf.valid & (mf.dist < cfg.vote_desc_d2) & mask
     matched_pt = jnp.zeros(P, bool).at[
         jnp.where(voted, mf.idx, P)].set(True, mode="drop")
@@ -335,6 +352,18 @@ def track_step(
     fidx = jnp.arange(F, dtype=jnp.int32)
     votes = jnp.where((fidx <= f - cfg.loop_gap) & pose_mask, votes, 0)
     top_votes, top_cands = jax.lax.top_k(votes, 4)
+    # Covisibility row of the CURRENT frame (T21's covisibility graph,
+    # VERDICT r1 #7): covis[c] = number of this frame's PnP-inlier
+    # landmarks that frame c observes. Distinct from `votes` (appearance
+    # retrieval): this counts geometrically verified co-observation, and
+    # feeds covisibility-gated local BA (ba_problem_from_state) and the
+    # map-block partition for distributed BA (dist/partition.py).
+    tracked_pt = jnp.zeros(P, bool).at[
+        jnp.where(tracked, lm, P)].set(True, mode="drop")
+    covis = jax.ops.segment_sum(
+        (obs_mask & tracked_pt[obs_pt]).astype(jnp.int32),
+        obs_cam, num_segments=F)
+    covis = jnp.where(pose_mask, covis, 0)
 
     # ---- 9. roll previous-frame context (only on success) ----
     def roll(a, new):
@@ -363,6 +392,7 @@ def track_step(
         votes=top_votes, cands=top_cands, n_new_points=n_new,
         n_points=n_points, n_obs=n_obs,
         overflow=ovf1 | ovf2 | ovf3 | ovf4,
+        covis=covis,
     )
     return new_state, info
 
@@ -398,16 +428,38 @@ def loop_verify(
 
 def ba_problem_from_state(state: TrackState, f: int | jnp.ndarray,
                           window: int | jnp.ndarray,
-                          free_second_cam: bool = False) -> BAProblem:
-    """Local-window BA problem over the device state (no host round-trip).
+                          free_second_cam: bool = False,
+                          covis=None, covis_thresh: int = 0) -> BAProblem:
+    """Local BA problem over the device state (no host round-trip).
 
-    Cameras outside [f - window, f] and the gauge pair (0, 1) are frozen;
-    points not seen within the window are frozen too.
+    Default (time-window) selection: cameras outside [f - window, f] and
+    the gauge pair (0, 1) are frozen; points not seen within the window
+    are frozen too.
+
+    Covisibility selection (``covis`` = the current frame's covisibility
+    row from TrackInfo, ``covis_thresh`` > 0): cameras sharing >=
+    covis_thresh PnP-inlier landmarks with the current frame stay FREE
+    regardless of age, and the point set is exactly the points observed by
+    an active camera — the local map follows the scene graph, not the
+    clock. This is what keeps local BA well-posed on revisit/oscillation
+    trajectories where the time window has rotated the co-observing frames
+    out (tested in test_tracker: window-BA drifts, covis-BA holds).
     """
     idx = jnp.arange(state.pose_mask.shape[0], dtype=jnp.int32)
     n_gauge = 1 if free_second_cam else 2
-    fixed = state.pose_mask & ((idx < n_gauge) | (idx < f - window))
-    pt_local = state.pt_mask & (state.pt_last_seen >= f - window)
+    if covis is not None and covis_thresh > 0:
+        active = state.pose_mask & (
+            (jnp.asarray(covis) >= covis_thresh) | (idx >= f - 1))
+        fixed = state.pose_mask & ((idx < n_gauge) | ~active)
+        # Points observed by any active camera.
+        P = state.pt_mask.shape[0]
+        sel_obs = state.obs_mask & active[state.obs_cam]
+        pt_local = jnp.zeros(P, bool).at[
+            jnp.where(sel_obs, state.obs_pt, P)].set(True, mode="drop")
+        pt_local = pt_local & state.pt_mask
+    else:
+        fixed = state.pose_mask & ((idx < n_gauge) | (idx < f - window))
+        pt_local = state.pt_mask & (state.pt_last_seen >= f - window)
     return BAProblem(
         poses=SE3(state.R, state.t),
         points=state.points,

@@ -14,15 +14,20 @@ from synth import random_descriptors
 
 class CircleScene:
     """Cameras on a full circle looking inward — the trajectory revisits its
-    start, so late frames overlap early ones (loop-closure bait)."""
+    start, so late frames overlap early ones (loop-closure bait).
 
-    def __init__(self, rng, n_points=300, n_frames=26, radius=6.0):
+    ``angles``: optional explicit per-frame angle sequence (radians) —
+    non-monotone sequences build revisit/oscillation trajectories where
+    covisible frames are temporally far apart (covisibility-BA tests)."""
+
+    def __init__(self, rng, n_points=300, n_frames=26, radius=6.0,
+                 angles=None):
         w, h = 640, 480
         self.K = np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1.0]])
         self.points = rng.uniform(-1.5, 1.5, size=(n_points, 3))
         Rs, ts = [], []
         for k in range(n_frames):
-            ang = 2 * np.pi * k / n_frames
+            ang = angles[k] if angles is not None else 2 * np.pi * k / n_frames
             c, s = np.cos(ang), np.sin(ang)
             eye = np.array([radius * s, 0.3 * np.sin(2 * ang), -radius * c])
             fwd = -eye / np.linalg.norm(eye)
