@@ -28,8 +28,10 @@ This implementation keeps every step batched, shape-static, and numeric:
    minimal Groebner basis, so deg det B <= 13 rather than Nister's exact
    10) fail that validation and are masked.
 
-Up to ``n_roots`` = 12 candidate essential matrices per sample; RANSAC
-(geometry/ransac.py solver="5pt") scores K x 12 candidates in one batch.
+Up to ``_N_ROOTS`` = 16 candidate essential matrices per sample; RANSAC
+(geometry/ransac.py solver="5pt") scores K x 16 candidates in one batch.
+(16 bracket slots > the 10 true solutions + deg-13 det-B margin: measured
+failure class where noise crossings crowded true roots out of 12 slots.)
 
 Always call through a jit boundary on TPU (ransac_essential provides one):
 eagerly this function dispatches hundreds of small programs, each a
@@ -265,34 +267,37 @@ def _detB(Bc, z):
     )
 
 
-_N_ROOTS = 12
-_GRID = 256
+_N_ROOTS = 16
+_N_AUX = 16   # fixed-z auxiliary polish starts (see five_point_essential)
+_GRID = 512
 # Monomial exponent table as arrays for numeric evaluation/Jacobians.
 _EXP = np.array(_M3, np.int32)  # (20, 3)
 
 
+# Vectorized monomial evaluation: one broadcasted power/product instead of
+# 20 (or 60) separately traced scalar-power chains — shrinks the jitted
+# program (this function is called inside every polish iteration and the
+# solver is vmapped over K RANSAC hypotheses).
+_EXPF = _EXP.astype(np.float32)                      # (20, 3)
+_EXP_DEC = np.maximum(_EXP[None] - np.eye(3, dtype=np.int32)[:, None], 0)
+# (3, 20, 3): exponents of d(monomial)/d(var), per var.
+
+
 def _mono20(xyz):
     """(..., 3) -> (..., 20) monomial evaluations."""
-    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
-    cols = []
-    for (i, j, k) in _M3:
-        cols.append((x ** i) * (y ** j) * (z ** k))
-    return jnp.stack(cols, axis=-1)
+    return jnp.prod(xyz[..., None, :] ** jnp.asarray(_EXPF), axis=-1)
 
 
 def _mono20_jac(xyz):
     """(..., 3) -> (..., 20, 3) d(monomials)/d(x, y, z)."""
-    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
-    rows = []
-    for (i, j, k) in _M3:
-        dx = i * (x ** max(i - 1, 0)) * (y ** j) * (z ** k)
-        dy = j * (x ** i) * (y ** max(j - 1, 0)) * (z ** k)
-        dz = k * (x ** i) * (y ** j) * (z ** max(k - 1, 0))
-        rows.append(jnp.stack([dx, dy, dz], axis=-1))
-    return jnp.stack(rows, axis=-2)
+    # For var v: coeff = exp[m, v], monomial with exp[m, v] decremented.
+    base = jnp.prod(
+        xyz[..., None, None, :] ** jnp.asarray(_EXP_DEC, jnp.float32),
+        axis=-1)                                     # (..., 3, 20)
+    return jnp.moveaxis(jnp.asarray(_EXPF.T) * base, -2, -1)
 
 
-def _newton_polish(C, xyz, iters: int = 8):
+def _newton_polish(C, xyz, iters: int = 24):
     """Gauss-Newton on the 10 cubic constraints r = C m(x,y,z).
 
     The det-B root scan runs in f32 through a Gauss-Jordan eliminate —
@@ -300,8 +305,10 @@ def _newton_polish(C, xyz, iters: int = 8):
     constraint matrix C is numerically benign, so a few damped GN steps
     from each approximate root land on the true variety (f64-free
     alternative to Nister's traditional double-precision pipeline).
+    fori_loop body: the polish is iteration-count-fixed anyway and
+    unrolling it multiplied the traced program (compile time) by ``iters``.
     """
-    for _ in range(iters):
+    def body(_, xyz):
         r = jnp.einsum("...ct,...t->...c", C, _mono20(xyz))       # (..., 10)
         J = jnp.einsum("...ct,...ti->...ci", C, _mono20_jac(xyz))  # (..., 10, 3)
         JtJ = jnp.einsum("...ci,...cj->...ij", J, J)
@@ -313,8 +320,16 @@ def _newton_polish(C, xyz, iters: int = 8):
         adj = _adj3(H)
         step = jnp.einsum("...ij,...j->...i", adj, Jtr) / jnp.where(
             jnp.abs(det) > 1e-30, det, 1.0)[..., None]
-        xyz = xyz - step
-    return xyz
+        # Trust-region clip: near-coincident solutions make JtJ almost
+        # singular and the raw GN step explodes out of the basin; capping
+        # the step keeps the iteration inside it (measured: rescues the
+        # marginal ~10% of minimal problems where the f32 RREF start is
+        # poor).
+        sn = jnp.linalg.norm(step, axis=-1, keepdims=True)
+        step = step * (2.0 / jnp.maximum(sn, 2.0))
+        return xyz - step
+
+    return jax.lax.fori_loop(0, iters, body, xyz)
 
 
 def _adj3(M):
@@ -331,10 +346,13 @@ def _adj3(M):
 def five_point_essential(x1: jnp.ndarray, x2: jnp.ndarray):
     """Essential matrices from exactly 5 normalized correspondences.
 
-    x1, x2: (..., 5, 2). Returns (Es (..., 12, 3, 3), valid (..., 12)) —
-    up to 12 real candidates per sample (10 true solutions of the minimal
-    problem plus spurious det-B roots, which the constraint-residual gate
-    masks). Invalid slots contain garbage; callers must honor ``valid``.
+    x1, x2: (..., 5, 2). Returns (Es (..., 32, 3, 3), valid (..., 32)) —
+    16 det-B bracket slots plus 16 auxiliary polish starts per sample (10
+    true solutions of the minimal problem at most; spurious det-B roots
+    and non-converged starts are masked by the constraint-residual gate).
+    Invalid slots contain garbage; callers must honor ``valid``.
+    Duplicate recoveries of the same solution across slots are expected
+    and harmless (RANSAC scores candidates independently).
     """
     h1 = _homog(x1)
     h2 = _homog(x2)
@@ -347,12 +365,20 @@ def five_point_essential(x1: jnp.ndarray, x2: jnp.ndarray):
     M = _gauss_jordan(C)
     a, b, c = _poly_rows(M)
     Bc = _b_matrix_coeffs(a, b, c)
+    # Per-row positive normalization: scaling row r of B(z) by c_r > 0
+    # multiplies det B by c_0 c_1 c_2 > 0 — every root and every sign are
+    # preserved — but bounds the detB dynamic range (measured spans of
+    # ~1e11 made the f32 sign-change products overflow and seeded spurious
+    # crossings that crowded true roots out of the bracket slots).
+    Bc = Bc / jnp.maximum(
+        jnp.max(jnp.abs(Bc), axis=(-2, -1), keepdims=True), 1e-30)
 
     # --- root scan over z = tan(theta): brackets from sign changes.
     theta = jnp.linspace(-np.pi / 2 + 2e-2, np.pi / 2 - 2e-2, _GRID)
     zg = jnp.tan(theta)
     d = _detB(Bc, jnp.broadcast_to(zg, Bc.shape[:-3] + (_GRID,)))
-    sc = (d[..., :-1] * d[..., 1:]) < 0  # (..., G-1) sign change flags
+    # Sign-based crossing test (no d*d product: overflow-safe in f32).
+    sc = jnp.sign(d[..., :-1]) * jnp.sign(d[..., 1:]) < 0  # (..., G-1)
     # First _N_ROOTS bracket indices (top_k on flag*(G - position)).
     rank = sc * (jnp.arange(_GRID - 1, 0, -1))
     val, bi = jax.lax.top_k(rank, _N_ROOTS)
@@ -372,10 +398,26 @@ def five_point_essential(x1: jnp.ndarray, x2: jnp.ndarray):
                 jnp.where(left, dlo, dm))
 
     lo, hi, dlo = jax.lax.fori_loop(0, 40, _bis, (lo, hi, dlo))
-    z = jnp.tan(0.5 * (lo + hi))  # (..., 12)
+    z = jnp.tan(0.5 * (lo + hi))  # (..., _N_ROOTS)
+
+    # --- auxiliary polish starts (jit-robustness, measured 2026-08-17):
+    # the bracket scan runs through an f32 RREF whose discrete branches
+    # (pivot argmax, top_k, bisection sides) sit on rounding knife-edges —
+    # under jit, fusion-level reduction-order changes flipped them and lost
+    # true roots that the SAME code found eagerly (~8% of random minimal
+    # problems; see docs/PERFORMANCE.md). The Gauss-Newton polish converges
+    # to variety points from generic starts, so a fixed z-spread of extra
+    # starts recovers scan-lost roots — including even-multiplicity detB
+    # touches that produce no sign change at all. Non-converged starts are
+    # killed by the constraint-residual gate below.
+    theta_aux = jnp.linspace(-np.pi / 2 + 0.1, np.pi / 2 - 0.1, _N_AUX)
+    z_aux = jnp.broadcast_to(jnp.tan(theta_aux), z.shape[:-1] + (_N_AUX,))
+    z = jnp.concatenate([z, z_aux], axis=-1)          # (..., _N_ROOTS+_N_AUX)
+    has_root = jnp.concatenate(
+        [has_root, jnp.ones(has_root.shape[:-1] + (_N_AUX,), bool)], axis=-1)
 
     # --- (x, y) via least squares on B(z*) [x, y, 1] = 0.
-    vals = _polyval(Bc[..., None, :, :, :], z[..., :, None, None])  # (...,12,3,3)
+    vals = _polyval(Bc[..., None, :, :, :], z[..., :, None, None])  # (...,R,3,3)
     A2 = vals[..., :, :2]  # (..., 12, 3, 2)
     g2 = -vals[..., :, 2]  # (..., 12, 3)
     AtA = jnp.einsum("...ri,...rj->...ij", A2, A2)

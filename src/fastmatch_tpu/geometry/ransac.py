@@ -65,8 +65,8 @@ def ransac_essential(
     crashing (tracking code treats that as "estimation failed").
 
     ``solver``: "8pt" (default) or "5pt" (geometry/five_point.py — the true
-    minimal sample: K samples each yield up to 12 candidate E's, scored as
-    one 12K batch; use it when the inlier ratio is low, since K for a
+    minimal sample: K samples each yield up to 16 candidate E's, scored as
+    one 16K batch; use it when the inlier ratio is low, since K for a
     target confidence scales like w^-5 instead of w^-8).
     """
     p_count = mask.shape[0]
@@ -81,10 +81,10 @@ def ransac_essential(
         from fastmatch_tpu.geometry.five_point import five_point_essential
 
         idx = _sample_minimal_sets(key, mask, n_hyp, 5)  # (K, 5)
-        Es, cand_ok = five_point_essential(x1[idx], x2[idx])  # (K, 12, 3, 3)
+        Es, cand_ok = five_point_essential(x1[idx], x2[idx])  # (K, 16, 3, 3)
         Es = Es.reshape(-1, 3, 3)
         cand_ok = cand_ok.reshape(-1)
-        errs = sampson_error(Es, x1[None], x2[None])  # (12K, P)
+        errs = sampson_error(Es, x1[None], x2[None])  # (16K, P)
         inl = (errs < thr) & mask[None, :] & cand_ok[:, None]
     else:
         idx = _sample_minimal_sets(key, mask, n_hyp, 8)  # (K, 8)

@@ -437,19 +437,23 @@ def ba_problem_from_state(state: TrackState, f: int | jnp.ndarray,
     are frozen too.
 
     Covisibility selection (``covis`` = the current frame's covisibility
-    row from TrackInfo, ``covis_thresh`` > 0): cameras sharing >=
-    covis_thresh PnP-inlier landmarks with the current frame stay FREE
+    row from TrackInfo, ``covis_thresh`` > 0): the free set is the UNION
+    of the time window and the cameras sharing >= covis_thresh PnP-inlier
+    landmarks with the current frame — co-observing frames stay free
     regardless of age, and the point set is exactly the points observed by
-    an active camera — the local map follows the scene graph, not the
-    clock. This is what keeps local BA well-posed on revisit/oscillation
-    trajectories where the time window has rotated the co-observing frames
-    out (tested in test_tracker: window-BA drifts, covis-BA holds).
+    an active camera, so the local map follows the scene graph as well as
+    the clock. Union (not replacement) matters: freeing old covisible
+    frames while freezing the recent window was measured to DESTABILIZE
+    oscillation trajectories (temporally disconnected free sets share only
+    points, so the frozen recent chain drags old poses toward its drifted
+    geometry); extending the window can only add co-observation coupling
+    (tested in test_tracker: window-BA drifts, covis-BA holds).
     """
     idx = jnp.arange(state.pose_mask.shape[0], dtype=jnp.int32)
     n_gauge = 1 if free_second_cam else 2
     if covis is not None and covis_thresh > 0:
         active = state.pose_mask & (
-            (jnp.asarray(covis) >= covis_thresh) | (idx >= f - 1))
+            (jnp.asarray(covis) >= covis_thresh) | (idx >= f - window))
         fixed = state.pose_mask & ((idx < n_gauge) | ~active)
         # Points observed by any active camera.
         P = state.pt_mask.shape[0]

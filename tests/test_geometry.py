@@ -442,19 +442,22 @@ class TestFivePoint:
         return x1, x2, E_gt / np.linalg.norm(E_gt)
 
     def test_gt_among_candidates(self, rng):
+        """10/10 GT recovery through the PRODUCT path (jitted — the module
+        contract says always call through jit; eager and jit resolve the
+        f32 RREF's discrete branches differently on marginal problems, and
+        the auxiliary polish starts were tuned against the jitted path)."""
         from fastmatch_tpu.geometry.five_point import five_point_essential
+        solve = jax.jit(five_point_essential)
         hits = 0
         for _ in range(10):
             x1, x2, E_gt = self._minimal_problem(rng)
-            Es, valid = five_point_essential(jnp.asarray(x1), jnp.asarray(x2))
+            Es, valid = solve(jnp.asarray(x1), jnp.asarray(x2))
             Es, valid = np.array(Es), np.array(valid)
             errs = [min(np.abs(Es[i] - E_gt).max(), np.abs(Es[i] + E_gt).max())
-                    for i in range(12) if valid[i]]
+                    for i in range(Es.shape[0]) if valid[i]]
             if errs and min(errs) < 1e-3:
                 hits += 1
-        # The tan-grid root scan can miss closely-spaced root pairs on a
-        # given sample; RANSAC tolerates that. Require a high hit rate.
-        assert hits >= 7, f"only {hits}/10 minimal problems recovered GT"
+        assert hits == 10, f"only {hits}/10 minimal problems recovered GT"
 
     def test_candidates_satisfy_correspondences(self, rng):
         from fastmatch_tpu.geometry.five_point import five_point_essential
