@@ -275,6 +275,10 @@ def cmd_slam(args):
         )
     if args.trajectory:
         _write_tum(args.trajectory, rec)
+    if args.plot:
+        from fastmatch_tpu.utils.viz import plot_trajectory
+
+        plot_trajectory(rec.camera_centers(), args.plot)
     if args.checkpoint:
         from fastmatch_tpu.pipeline.checkpoint import save_map
 
@@ -336,7 +340,7 @@ def cmd_evaluate(args):
     size = (args.resize, args.resize) if args.resize else None
     results, agg = evaluate_pairs(
         pairs, sift_cfg=cfg.sift, ratio=cfg.matching.ratio, tol=args.tol,
-        backend=cfg.matching.backend, size=size,
+        backend=cfg.matching.backend, size=size, plot_dir=args.plot_dir,
     )
     for r in results:
         print(json.dumps(r))
@@ -408,6 +412,7 @@ def main(argv=None):
                     help="with --mesh: resume from a --checkpoint dir "
                     "(bit-deterministic continuation)")
     sp.add_argument("--out")
+    sp.add_argument("--plot", help="write a top-down trajectory PNG here")
     sp.add_argument("--trajectory", help="write TUM-format trajectory here")
     sp.add_argument("--checkpoint")
     sp.add_argument("--metrics", help="write JSONL metrics here")
@@ -421,6 +426,9 @@ def main(argv=None):
     sp.add_argument("--n-synth", type=int, default=3)
     sp.add_argument("--tol", type=float, default=3.0)
     sp.add_argument("--resize", type=int, default=0)
+    sp.add_argument("--plot-dir",
+                    help="render per-pair match figures + a summary "
+                    "precision/recall chart here (utils/viz.py)")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("bench")

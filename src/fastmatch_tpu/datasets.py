@@ -193,12 +193,15 @@ def load_tum_trajectory(path: str):
 
 
 def evaluate_pairs(pairs, sift_cfg=None, ratio: float = 0.8, tol: float = 3.0,
-                   backend: str = "auto", size=None):
+                   backend: str = "auto", size=None, plot_dir=None):
     """Run the full detect->match->score harness over image pairs.
 
     Returns a list of per-pair dicts plus an ``aggregate`` dict (mean
     precision/recall, total counts) — the reference's evaluation-harness
-    capability on the TPU pipeline.
+    capability on the TPU pipeline. ``plot_dir``: also render per-pair
+    side-by-side match figures (lines colored by GT-homography
+    correctness) and a precision/recall summary bar chart there
+    (utils/viz.py — the reference harness plots its results too).
     """
     import jax.numpy as jnp
 
@@ -228,6 +231,18 @@ def evaluate_pairs(pairs, sift_cfg=None, ratio: float = 0.8, tol: float = 3.0,
             kpa.xy, kpa.mask, kpb.xy, kpb.mask, m.idx, m.valid,
             jnp.asarray(H_ab.astype(np.float32)), tol=tol,
         )
+        if plot_dir is not None:
+            import os
+
+            from fastmatch_tpu.utils.viz import draw_matches
+
+            os.makedirs(plot_dir, exist_ok=True)
+            safe = str(pair.name).replace("/", "_").replace(" ", "_")
+            draw_matches(
+                ia, np.asarray(kpa.xy), ib, np.asarray(kpb.xy),
+                np.asarray(m.idx), np.asarray(m.valid),
+                os.path.join(plot_dir, f"{safe}.png"),
+                H_ab=H_ab, tol=tol)
         results.append(
             {
                 "pair": pair.name,
@@ -254,4 +269,10 @@ def evaluate_pairs(pairs, sift_cfg=None, ratio: float = 0.8, tol: float = 3.0,
         "n_predicted": int(sum(r["n_predicted"] for r in results)),
         "n_gt": int(sum(r["n_gt"] for r in results)),
     }
+    if plot_dir is not None and results:
+        import os
+
+        from fastmatch_tpu.utils.viz import plot_match_stats
+
+        plot_match_stats(results, os.path.join(plot_dir, "summary.png"))
     return results, agg
