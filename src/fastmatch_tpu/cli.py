@@ -347,6 +347,35 @@ def cmd_evaluate(args):
     print(json.dumps({"aggregate": agg}))
 
 
+def cmd_locate(args):
+    """Localize frames against a prebuilt map (kidnapped-robot query):
+    the ANN big-bank product path for city-scale maps, exact matcher below
+    the crossover (pipeline/localize.py)."""
+    cfg = _load_config(args)
+    feats, cam = _load_features(args, cfg)
+    from fastmatch_tpu.pipeline.localize import (
+        localize, map_index_from_checkpoint)
+
+    index = map_index_from_checkpoint(
+        args.map, ann_threshold=args.ann_threshold)
+    frames = range(len(feats)) if args.frame < 0 else [args.frame]
+    n_ok = 0
+    for k in frames:
+        xy, d, m = feats[k]
+        r = localize(index, xy, d, m, cam, thr_px=args.thr_px)
+        ok = bool(r.ok)
+        n_ok += ok
+        print(json.dumps({
+            "frame": int(k), "ok": ok,
+            "n_matches": int(r.n_matches), "n_inliers": int(r.n_inliers),
+            "R": np.asarray(r.R).tolist() if ok else None,
+            "t": np.asarray(r.t).tolist() if ok else None,
+        }))
+    print(json.dumps({"localized": n_ok, "of": len(list(frames)),
+                      "ann": index.ivf is not None}))
+    return 0 if n_ok else 1
+
+
 def cmd_bench(args):
     import runpy
     import os
@@ -417,6 +446,19 @@ def main(argv=None):
     sp.add_argument("--checkpoint")
     sp.add_argument("--metrics", help="write JSONL metrics here")
     sp.set_defaults(fn=cmd_slam)
+
+    sp = sub.add_parser("locate")
+    sp.add_argument("map", help="map checkpoint dir (slam/reconstruct "
+                    "--checkpoint output)")
+    sp.add_argument("input", help="feature .npz or image directory")
+    sp.add_argument("--focal", type=float, default=500.0)
+    sp.add_argument("--frame", type=int, default=-1,
+                    help="localize only this frame (-1 = all)")
+    sp.add_argument("--thr-px", type=float, default=2.0)
+    sp.add_argument("--ann-threshold", type=int, default=None,
+                    help="bank rows above which the IVF index is used "
+                    "(default: measured ~100k crossover; 0 forces IVF)")
+    sp.set_defaults(fn=cmd_locate)
 
     sp = sub.add_parser("evaluate")
     sp.add_argument(

@@ -53,9 +53,13 @@ class CircleScene:
         )
 
 
-def features_of(rng, scene, noise_px=0.3, cap=512):
+def features_of(rng, scene, noise_px=0.3, cap=512, base_desc=None):
+    """Per-frame (xy, desc, mask) observations of the scene. ``base_desc``:
+    per-3D-point descriptor identities; pass the same array to build
+    independent re-detections of the same scene (localization tests)."""
     n_pts = scene.points.shape[0]
-    base_desc = random_descriptors(rng, n_pts)
+    if base_desc is None:
+        base_desc = random_descriptors(rng, n_pts)
     feats = []
     for f in range(scene.R.shape[0]):
         vis = np.where(scene.visible[f])[0]
