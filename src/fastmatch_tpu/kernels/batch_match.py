@@ -106,12 +106,11 @@ def _batch_match_kernel(
     def body1(c, carry):
         colv, coli, i1f, d1f, d2f = carry
         r0 = c * tile_n
+        # Operands arrive pre-cast (bf16 when fast) from match_batch_fused:
+        # casting inside this body cost a measured ~0.4 ms/batch of pure VPU
+        # sweeps (and made the fast path SLOWER than exact on chip).
         a_blk = a_ref[0, pl.ds(r0, tile_n), :]    # (TN, 128), 8-aligned
-        if fast:
-            a_blk = a_blk.astype(jnp.bfloat16)
         bmat = b_ref[0]
-        if fast:
-            bmat = bmat.astype(jnp.bfloat16)
         a2 = row_chunk(a2row, r0)                 # (1, TN)
         # (M, TN) transposed block of -2 a.b — products and accumulation
         # identical to the anchor's -2*(a@b.T) (see module docstring).
@@ -155,12 +154,16 @@ def _batch_match_kernel(
         def body2(c, mut):
             r0 = c * tile_n
             i1 = row_chunk(i1f, r0)               # (1, TN) i32
-            # mutual[q] = (coli[i1[q]] == q): compare-AND-reduce over the
-            # VMEM-resident (M, 1) coli — no gather.
+            # mutual[q] = (coli[i1[q]] == q). (rid == i1) is one-hot per
+            # column (exactly one row matches, or none when i1 == m), so a
+            # select+max-reduce extracts coli[i1[q]] directly — two (M, TN)
+            # sweeps, vs the previous compare-AND-reduce's three and a half
+            # (rid/lid compares + AND + reduce; ~0.5 ms/batch on chip).
             rid = jax.lax.broadcasted_iota(jnp.int32, (m, tile_n), 0)
-            lid = jax.lax.broadcasted_iota(jnp.int32, (m, tile_n), 1) + r0
-            hit = (rid == i1) & (coli == lid)
-            mc = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
+            midx = jnp.max(jnp.where(rid == i1, coli, -1),
+                           axis=0, keepdims=True)      # (1, TN)
+            lid = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1) + r0
+            mc = (midx == lid).astype(jnp.int32)
             return row_place(mut, mc, r0, lid_n)
 
         mut = jax.lax.fori_loop(
@@ -189,7 +192,7 @@ def _pick_tile_n(n: int, m: int) -> int:
     inside the fori body must fit the raised VMEM_LIMIT window."""
     fixed = 2 * (n + m) * DESC_DIM * 4 + 2 * m * 512 + 2 * m * 512
     budget = (VMEM_LIMIT * 2) // 3 - fixed
-    tn = 512
+    tn = 1024
     while tn > 128 and 6 * max(tn, 128) * m * 4 > budget:
         tn //= 2
     while n % tn:
@@ -227,6 +230,12 @@ def match_batch_fused(
     b2m = jnp.where(desc_b.mask, b2, BIG)[..., None]           # (B, M, 1)
     r2 = jnp.full((1, 1), jnp.asarray(ratio, jnp.float32) ** 2)
     tn = _pick_tile_n(n, m)
+    # Fast path: cast ONCE here (XLA fuses it into the norm computation)
+    # instead of per-chunk inside the kernel — identical bits, and the bf16
+    # operands also halve the per-pair HBM->VMEM descriptor stream.
+    op_a, op_b = -2.0 * a, b
+    if fast:
+        op_a, op_b = op_a.astype(jnp.bfloat16), op_b.astype(jnp.bfloat16)
 
     kernel = functools.partial(
         _batch_match_kernel, tile_n=tn, n=n, m=m, fast=fast,
@@ -266,7 +275,7 @@ def match_batch_fused(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(-2.0 * a, b, b2m, a2m, r2)
+    )(op_a, op_b, b2m, a2m, r2)
     return Matches(
         idx=idx[:, 0, :],
         dist=dist[:, 0, :],
