@@ -91,10 +91,15 @@ def cmd_match(args):
 
     kp_a, da = load_side(args.a)
     kp_b, db = load_side(args.b)
-    m = match_pair(da, db, ratio=cfg.matching.ratio,
-                   cross_check=cfg.matching.cross_check,
-                   backend=cfg.matching.backend,
-                   precision=cfg.matching.precision)
+    if args.method == "mirror":
+        from fastmatch_tpu.matching.mirror import match_pair_mirror
+
+        m = match_pair_mirror(da, db, tau=args.mirror_tau)
+    else:
+        m = match_pair(da, db, ratio=cfg.matching.ratio,
+                       cross_check=cfg.matching.cross_check,
+                       backend=cfg.matching.backend,
+                       precision=cfg.matching.precision)
     report = {}
     if args.verify != "none":
         if kp_a is None or kp_b is None:
@@ -403,6 +408,12 @@ def main(argv=None):
                     choices=["none", "fundamental", "homography"],
                     help="geometric verification filter (image inputs only; "
                          "essential needs intrinsics — use the library API)")
+    sp.add_argument("--method", choices=("ratio", "mirror"), default="ratio",
+                    help="ratio = Lowe top-2 + cross-check; mirror = "
+                         "joint-distinctiveness mutual matching "
+                         "(matching/mirror.py, no ratio test)")
+    sp.add_argument("--mirror-tau", type=float, default=1.0,
+                    help="mirror self-distance gate scale")
     sp.add_argument("--verify-thr", type=float, default=3.0,
                     help="inlier threshold in pixels for --verify")
     sp.set_defaults(fn=cmd_match)
