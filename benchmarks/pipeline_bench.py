@@ -69,6 +69,23 @@ def main():
           f"dispatches/frame = 1 step + 1 readback "
           f"(+{n_ba} BA solves total)", flush=True)
 
+    # ---- scan mode (round 2): the WHOLE sequence in one lax.scan ----
+    from fastmatch_tpu.pipeline.slam_scan import slam_scan
+
+    t0 = time.perf_counter()
+    slam_scan(feats, cam, cfg, scfg)
+    print(f"scan mode first run (compiles): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    out = slam_scan(feats, cam, cfg, scfg)
+    dt = time.perf_counter() - t0
+    recs = out.rec
+    ests = np.stack([-recs.R[f].T @ recs.t[f] for f in range(n_frames)])
+    ates = float(ate_rmse(jnp.asarray(ests), jnp.asarray(gt)))
+    print(f"scan mode steady-state: {dt:.1f}s for {n_frames} frames "
+          f"-> {n_frames / dt:.2f} frames/s (ATE {ates:.4f}); "
+          f"dispatches = 1 scan + 1 final BA + 1 readback TOTAL", flush=True)
+
 
 if __name__ == "__main__":
     main()

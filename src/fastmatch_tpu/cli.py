@@ -268,6 +268,12 @@ def cmd_slam(args):
         from fastmatch_tpu.pipeline.slam_device import slam_device
 
         out = slam_device(feats, cam, cfg, scfg, metrics=metrics)
+    elif engine == "scan":
+        # Offline mapping: the whole sequence as ONE compiled lax.scan —
+        # no per-frame dispatch, no in-loop closure (pipeline/slam_scan.py).
+        from fastmatch_tpu.pipeline.slam_scan import slam_scan
+
+        out = slam_scan(feats, cam, cfg, scfg, metrics=metrics)
     else:
         out = slam(feats, cam, cfg, scfg, metrics=metrics)
     if metrics:
@@ -434,7 +440,7 @@ def main(argv=None):
     sp.add_argument("--window", type=int, default=8)
     sp.add_argument("--loop-gap", type=int, default=12)
     sp.add_argument("--loop-min-votes", type=int, default=25)
-    sp.add_argument("--engine", choices=("auto", "device", "host"),
+    sp.add_argument("--engine", choices=("auto", "device", "host", "scan"),
                     default="auto",
                     help="device = one fused jitted step/frame (default on "
                     "TPU); host = round-1 orchestrated loop")

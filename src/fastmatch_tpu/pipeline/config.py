@@ -35,6 +35,11 @@ class BAConfig:
     pcg_iters: int = 40
     huber_px: float = 2.0
     interval: int = 5            # run BA every N frames
+    # Focal length used to convert huber_px to normalized coords when BA is
+    # traced INSIDE a compiled program (pipeline/slam_scan.py) and the
+    # camera vector is a tracer. Populated from the camera at entry; the
+    # host-driven paths read camera.fx directly and ignore this.
+    fx_hint: float = 500.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,76 @@
+"""Scan-mode SLAM (pipeline/slam_scan.py): the whole sequence as one
+compiled lax.scan — decision parity with the per-frame slam_device driver
+on clean sequences, relocalize-next-frame on dropout, and ATE."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastmatch_tpu.core.camera import Pinhole
+from fastmatch_tpu.pipeline.config import BAConfig, MapConfig, PipelineConfig
+from fastmatch_tpu.pipeline.slam import SlamConfig
+from fastmatch_tpu.pipeline.slam_device import slam_device
+from fastmatch_tpu.pipeline.slam_scan import slam_scan
+from fastmatch_tpu.utils.evaluation import ate_rmse
+from test_slam import CircleScene, features_of
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    scene = CircleScene(rng, n_points=300, n_frames=20)
+    feats = features_of(rng, scene)
+    cfg = PipelineConfig(
+        ba=BAConfig(interval=5, max_iters=8, pcg_iters=30),
+        map=MapConfig(max_frames=32, max_points=4096, max_obs=32768),
+    )
+    # Loop closure disabled: scan mode's documented scope.
+    scfg = SlamConfig(window=6, loop_gap=10 ** 6, loop_min_votes=10 ** 9)
+    return scene, feats, cfg, scfg
+
+
+class TestSlamScan:
+    def test_matches_slam_device_bitwise(self, setup):
+        """Same bootstrap, keys, matching, PnP, BA cadence => on a clean
+        sequence the scan must reproduce the per-frame driver exactly."""
+        scene, feats, cfg, scfg = setup
+        cam = Pinhole.from_K(scene.K)
+        dev = slam_device(feats, cam, cfg, scfg)
+        scn = slam_scan(feats, cam, cfg, scfg)
+        assert scn.frame_seq == dev.frame_seq
+        np.testing.assert_array_equal(scn.rec.R, dev.rec.R)
+        np.testing.assert_array_equal(scn.rec.t, dev.rec.t)
+        np.testing.assert_array_equal(scn.rec.points, dev.rec.points)
+        np.testing.assert_array_equal(scn.rec.obs_pt, dev.rec.obs_pt)
+        assert scn.rec.n_points == dev.rec.n_points
+        assert scn.rec.n_obs == dev.rec.n_obs
+
+    def test_ate(self, setup):
+        scene, feats, cfg, scfg = setup
+        cam = Pinhole.from_K(scene.K)
+        out = slam_scan(feats, cam, cfg, scfg)
+        est = out.rec.camera_centers()
+        gt = -np.einsum("fji,fj->fi", scene.R, scene.t)
+        ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+        assert ate < 0.25, f"scan ATE {ate:.3f}"
+
+    def test_dropout_relocalizes_next_frame(self, setup):
+        """Wreck two frames: the scan skips them (state unchanged inside
+        the step) and the NEXT frame tracks with an unbounded window."""
+        scene, feats, cfg, scfg = setup
+        feats = [f for f in feats]
+        for k in (10, 11):
+            xy, d, m = feats[k]
+            m2 = m.copy()
+            live = np.where(m2)[0]
+            m2[live[5:]] = False
+            feats[k] = (xy, d, m2)
+        cam = Pinhole.from_K(scene.K)
+        out = slam_scan(feats, cam, cfg, scfg)
+        assert 10 not in out.frame_seq and 11 not in out.frame_seq
+        assert out.frame_seq[-1] == 19
+        gt_all = -np.einsum("fji,fj->fi", scene.R, scene.t)
+        gt = gt_all[np.asarray(out.frame_seq)]
+        est = out.rec.camera_centers()
+        ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+        assert ate < 0.3, f"ATE {ate:.3f} after scan relocalization"
