@@ -115,6 +115,7 @@ def slam_scan(
     scfg: SlamConfig = SlamConfig(),
     seed: int = 0,
     metrics=None,
+    close_loops: bool = False,
 ) -> SlamResult:
     """Offline device-resident SLAM: the whole sequence in one scan.
 
@@ -123,6 +124,16 @@ def slam_scan(
     where tracking never fails; see module docstring for the two
     documented policy differences (relocalize-next-frame, no in-loop
     closure).
+
+    ``close_loops=True``: POST-HOC loop closure. The scan already records
+    every frame's retrieval votes (TrackInfo.votes/cands, computed in-step
+    against the map as of that frame); after the scan, frames whose top
+    vote clears ``scfg.loop_min_votes`` (with the same loop_gap cooldown as
+    the online driver) are geometrically verified with `loop_verify`
+    against the FINAL map, and one pose-graph solve + one global BA absorb
+    all accepted closures. Differs from slam_device's online policy (which
+    corrects drift mid-run, helping subsequent tracking); for offline
+    mapping the final-accuracy effect is what matters and is tested.
     """
     cap = max(int(f[0].shape[0]) for f in features)
     cap = 1 << (cap - 1).bit_length()
@@ -164,7 +175,71 @@ def slam_scan(
                               if ok[k]]
     if n_fail and metrics:
         metrics.log("scan_summary", failed_frames=n_fail)
+
+    if close_loops:
+        state = _close_loops_posthoc(
+            state, infos, ok, features, cap, base_key, thr_n,
+            tcfg, cfg, scfg, out, metrics)
+        if out.loop_edges:
+            out.rec = _rec_from_state(state, cfg, camera)
     return out
+
+
+def _close_loops_posthoc(state, infos, ok, features, cap, base_key, thr_n,
+                         tcfg, cfg, scfg, out, metrics):
+    """Verify the scan's recorded loop candidates, then one PGO + one
+    global BA over the corrected chain (see slam_scan docstring)."""
+    from fastmatch_tpu.core.lie import SE3
+    from fastmatch_tpu.pipeline.slam import _np
+    from fastmatch_tpu.pipeline.slam_device import _run_pgo
+    from fastmatch_tpu.pipeline.tracker import loop_verify
+
+    votes = np.asarray(infos.votes)
+    cands = np.asarray(infos.cands)
+    fids = 1 + np.cumsum(ok)          # frame id assigned at scan step k
+    last_closure = -(1 << 30)
+    for k in range(len(ok)):
+        if not ok[k]:
+            continue
+        fid = int(fids[k])
+        if (votes[k, 0] < scfg.loop_min_votes
+                or fid - last_closure < scfg.loop_gap):
+            continue
+        fi = 2 + k
+        cand = int(cands[k, 0])
+        xy, d, m = _pad_frame(*features[fi], cap)
+        fkey = jax.random.fold_in(base_key, fi)
+        pl, _ncand = loop_verify(
+            state, jnp.asarray(xy), jnp.asarray(d), jnp.asarray(m),
+            jnp.int32(cand), jax.random.fold_in(fkey, 2), thr_n, tcfg)
+        if not bool(pl.ok):
+            continue
+        Tc = SE3(state.R[cand], state.t[cand])
+        Zl = pl.pose.compose(Tc.inverse())
+        out.loop_edges.append((fid, cand, _np(Zl.R), _np(Zl.t)))
+        last_closure = fid
+        if metrics:
+            metrics.log("loop_closure", frame=fi, candidate=cand,
+                        inliers=int(pl.n_inliers), posthoc=True)
+    if not out.loop_edges:
+        return state
+    # Odometry chain from the scan's own (BA-refined) trajectory.
+    R = np.asarray(state.R)
+    t = np.asarray(state.t)
+    n_fid = int(state.n_frames)
+    odo = []
+    for i in range(1, n_fid):
+        ZR = R[i] @ R[i - 1].T
+        Zt = t[i] - ZR @ t[i - 1]
+        odo.append((i, i - 1, ZR, Zt))
+    state = _run_pgo(state, odo, out.loop_edges, scfg)
+    out.pgo_runs += 1
+    prob = ba_problem_from_state(state, state.n_frames,
+                                 jnp.int32(FULL_WINDOW))
+    res = ba_solve(prob, max_iters=cfg.ba.max_iters,
+                   pcg_iters=cfg.ba.pcg_iters,
+                   huber_delta_static=cfg.ba.huber_px / cfg.ba.fx_hint)
+    return state._replace(R=res.poses.R, t=res.poses.t, points=res.points)
 
 
 def _with_fx_hint(cfg: PipelineConfig, fx: float) -> PipelineConfig:

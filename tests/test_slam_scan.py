@@ -54,6 +54,31 @@ class TestSlamScan:
         ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
         assert ate < 0.25, f"scan ATE {ate:.3f}"
 
+    def test_posthoc_loop_closure(self):
+        """close_loops=True: the scan's recorded votes yield verified loop
+        edges, one PGO + global BA run, and ATE stays bounded on a loopy
+        trajectory (same scene/config family as the slam_device loop tests,
+        which find closures online)."""
+        rng = np.random.default_rng(0)
+        scene = CircleScene(rng, n_points=300, n_frames=26)
+        feats = features_of(rng, scene)
+        cfg = PipelineConfig(
+            ba=BAConfig(interval=5, max_iters=8, pcg_iters=30),
+            map=MapConfig(max_frames=32, max_points=4096, max_obs=32768),
+        )
+        scfg = SlamConfig(window=6, loop_gap=10, loop_min_votes=20)
+        cam = Pinhole.from_K(scene.K)
+        out = slam_scan(feats, cam, cfg, scfg, close_loops=True)
+        assert len(out.loop_edges) >= 1, "no post-hoc loop closures"
+        f, c = out.loop_edges[0][0], out.loop_edges[0][1]
+        assert f - c >= 10
+        assert out.pgo_runs == 1
+        est = out.rec.camera_centers()
+        gt = -np.einsum("fji,fj->fi", scene.R, scene.t)
+        gt = gt[np.asarray(out.frame_seq)]
+        ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+        assert ate < 0.25, f"post-hoc-closure ATE {ate:.3f}"
+
     def test_dropout_relocalizes_next_frame(self, setup):
         """Wreck two frames: the scan skips them (state unchanged inside
         the step) and the NEXT frame tracks with an unbounded window."""
