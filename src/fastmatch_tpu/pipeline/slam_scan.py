@@ -31,6 +31,13 @@ Per sequence this costs ONE scan dispatch + ONE final global BA + ONE
 state readback, independent of frame count — the per-frame relay tax is
 gone, which is exactly the round-1 "1.7 frames/s against ~12 ms of device
 work" gap (VERDICT r1 weak #2) taken to its limit.
+
+`slam_scan_images` goes one step further: SIFT detect/describe runs INSIDE
+the same scan, so raw pixels go device-side once and the host's only jobs
+are the two-frame bootstrap and the final readback. `close_loops=True`
+(both variants) adds POST-HOC loop closure from the scan's recorded
+retrieval votes — loop_verify against the final map, one pose-graph solve,
+one global BA.
 """
 
 from __future__ import annotations
@@ -60,11 +67,19 @@ from fastmatch_tpu.pipeline.tracker import (
 )
 
 
-@partial(jax.jit, static_argnames=("tcfg", "cfg", "scfg"),
-         donate_argnums=(0,))
-def _scan_frames(state, xs, base_key, thr_n, tcfg: TrackerStatic,
-                 cfg: PipelineConfig, scfg: SlamConfig):
-    """The whole tracking loop as one XLA program."""
+def _final_ba(state, cfg):
+    prob = ba_problem_from_state(state, state.n_frames,
+                                 jnp.int32(FULL_WINDOW))
+    res = ba_solve(prob, max_iters=cfg.ba.max_iters,
+                   pcg_iters=cfg.ba.pcg_iters,
+                   huber_delta_static=cfg.ba.huber_px / cfg.ba.fx_hint)
+    return state._replace(R=res.poses.R, t=res.poses.t, points=res.points)
+
+
+def _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg, extract):
+    """The tracking loop as one XLA program; ``extract(x)`` maps a scan
+    element to (fi, xy, desc, mask) — identity for pre-extracted features,
+    detect_and_describe for raw images."""
     interval = int(cfg.ba.interval)
 
     def run_ba(state, fid, window, covis):
@@ -79,7 +94,7 @@ def _scan_frames(state, xs, base_key, thr_n, tcfg: TrackerStatic,
 
     def body(carry, x):
         state, window = carry
-        fi, xy, d, m = x
+        fi, xy, d, m = extract(x)
         fkey = jax.random.fold_in(base_key, fi)
         state, info = track_step(state, xy, d, m,
                                  jax.random.fold_in(fkey, 0),
@@ -99,13 +114,40 @@ def _scan_frames(state, xs, base_key, thr_n, tcfg: TrackerStatic,
     (state, _), infos = jax.lax.scan(
         body, (state, jnp.int32(scfg.window)), xs)
     # Final global BA (mirrors drive_slam's end-of-sequence solve).
-    prob = ba_problem_from_state(state, state.n_frames,
-                                 jnp.int32(FULL_WINDOW))
-    res = ba_solve(prob, max_iters=cfg.ba.max_iters,
-                   pcg_iters=cfg.ba.pcg_iters,
-                   huber_delta_static=cfg.ba.huber_px / cfg.ba.fx_hint)
-    state = state._replace(R=res.poses.R, t=res.poses.t, points=res.points)
-    return state, infos
+    return _final_ba(state, cfg), infos
+
+
+@partial(jax.jit, static_argnames=("tcfg", "cfg", "scfg"),
+         donate_argnums=(0,))
+def _scan_frames(state, xs, base_key, thr_n, tcfg: TrackerStatic,
+                 cfg: PipelineConfig, scfg: SlamConfig):
+    return _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg,
+                     extract=lambda x: x)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _detect(im, cfg):
+    """Module-level jit so repeated slam_scan_images calls share ONE SIFT
+    compilation (a per-call ``jax.jit(lambda ...)`` would recompile the
+    whole detector every invocation — measured ~36 s through the relay)."""
+    from fastmatch_tpu.features.sift import detect_and_describe
+
+    return detect_and_describe(im, cfg)
+
+
+@partial(jax.jit, static_argnames=("tcfg", "cfg", "scfg"),
+         donate_argnums=(0,))
+def _scan_images(state, xs, base_key, thr_n, tcfg: TrackerStatic,
+                 cfg: PipelineConfig, scfg: SlamConfig):
+    from fastmatch_tpu.features.sift import detect_and_describe
+
+    def extract(x):
+        fi, img = x
+        kp, desc = detect_and_describe(img, cfg.sift)
+        return fi, kp.xy, desc.data, desc.mask
+
+    return _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg,
+                     extract=extract)
 
 
 def slam_scan(
@@ -158,8 +200,65 @@ def slam_scan(
     )
 
     state, infos = _scan_frames(state, xs, base_key, thr_n, tcfg, cfg, scfg)
-    infos = jax.device_get(infos)
 
+    def frame_features(fi):
+        return tuple(jnp.asarray(v) for v in _pad_frame(*features[fi], cap))
+
+    return _postprocess(state, infos, n, frame_features, base_key, thr_n,
+                        tcfg, cfg, scfg, camera, metrics, close_loops)
+
+
+def slam_scan_images(
+    images,
+    camera: Pinhole,
+    cfg: PipelineConfig = PipelineConfig(),
+    scfg: SlamConfig = SlamConfig(),
+    seed: int = 0,
+    metrics=None,
+    close_loops: bool = False,
+) -> SlamResult:
+    """Camera-to-trajectory entirely on device: SIFT detect/describe AND
+    tracking/BA run inside ONE lax.scan over the raw image stack.
+
+    ``images``: (F, H, W) grayscale in [0, 1] (array or list). Keypoint
+    capacity = ``cfg.sift.capacity`` (the tracker cap). The host's only
+    jobs are the two-frame bootstrap (re-using the same jitted
+    detect_and_describe) and the final readback — no per-frame feature
+    transfer even exists; pixels go device-side once.
+    """
+    images = [np.asarray(im, np.float32) for im in images]
+    n = len(images)
+    cap = int(cfg.sift.capacity)
+    if cap & (cap - 1):
+        raise ValueError(f"sift.capacity must be a power of two, got {cap}")
+    tcfg = _static_from_cfg(cfg, scfg, cap)
+    cfg = _with_fx_hint(cfg, float(camera.fx))
+    thr_n = jnp.float32((cfg.ransac.thr_px / float(camera.fx)) ** 2)
+    base_key = jax.random.PRNGKey(seed)
+
+    def frame_features(fi):
+        kp, d = _detect(jnp.asarray(images[fi]), cfg.sift)
+        return kp.xy, d.data, d.mask
+
+    feats01 = []
+    for fi in (0, 1):
+        xy, d, m = frame_features(fi)
+        feats01.append((np.asarray(xy), np.asarray(d), np.asarray(m)))
+
+    boot_key = jax.random.fold_in(base_key, 1)
+    rec0, kp_lm1 = _bootstrap_host(feats01, camera, cfg, scfg, boot_key)
+    state = _state_from_bootstrap(rec0, feats01, kp_lm1, camera, tcfg)
+
+    xs = (jnp.arange(2, n, dtype=jnp.int32),
+          jnp.asarray(np.stack(images[2:])))
+    state, infos = _scan_images(state, xs, base_key, thr_n, tcfg, cfg, scfg)
+    return _postprocess(state, infos, n, frame_features, base_key, thr_n,
+                        tcfg, cfg, scfg, camera, metrics, close_loops)
+
+
+def _postprocess(state, infos, n, frame_features, base_key, thr_n,
+                 tcfg, cfg, scfg, camera, metrics, close_loops):
+    infos = jax.device_get(infos)
     ok = np.asarray(infos.ok)
     if bool(np.asarray(infos.overflow).any()):
         fi = 2 + int(np.argmax(np.asarray(infos.overflow)))
@@ -178,14 +277,14 @@ def slam_scan(
 
     if close_loops:
         state = _close_loops_posthoc(
-            state, infos, ok, features, cap, base_key, thr_n,
+            state, infos, ok, frame_features, base_key, thr_n,
             tcfg, cfg, scfg, out, metrics)
         if out.loop_edges:
             out.rec = _rec_from_state(state, cfg, camera)
     return out
 
 
-def _close_loops_posthoc(state, infos, ok, features, cap, base_key, thr_n,
+def _close_loops_posthoc(state, infos, ok, frame_features, base_key, thr_n,
                          tcfg, cfg, scfg, out, metrics):
     """Verify the scan's recorded loop candidates, then one PGO + one
     global BA over the corrected chain (see slam_scan docstring)."""
@@ -207,7 +306,7 @@ def _close_loops_posthoc(state, infos, ok, features, cap, base_key, thr_n,
             continue
         fi = 2 + k
         cand = int(cands[k, 0])
-        xy, d, m = _pad_frame(*features[fi], cap)
+        xy, d, m = frame_features(fi)
         fkey = jax.random.fold_in(base_key, fi)
         pl, _ncand = loop_verify(
             state, jnp.asarray(xy), jnp.asarray(d), jnp.asarray(m),
@@ -234,12 +333,7 @@ def _close_loops_posthoc(state, infos, ok, features, cap, base_key, thr_n,
         odo.append((i, i - 1, ZR, Zt))
     state = _run_pgo(state, odo, out.loop_edges, scfg)
     out.pgo_runs += 1
-    prob = ba_problem_from_state(state, state.n_frames,
-                                 jnp.int32(FULL_WINDOW))
-    res = ba_solve(prob, max_iters=cfg.ba.max_iters,
-                   pcg_iters=cfg.ba.pcg_iters,
-                   huber_delta_static=cfg.ba.huber_px / cfg.ba.fx_hint)
-    return state._replace(R=res.poses.R, t=res.poses.t, points=res.points)
+    return _final_ba(state, cfg)
 
 
 def _with_fx_hint(cfg: PipelineConfig, fx: float) -> PipelineConfig:

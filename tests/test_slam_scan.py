@@ -79,6 +79,40 @@ class TestSlamScan:
         ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
         assert ate < 0.25, f"post-hoc-closure ATE {ate:.3f}"
 
+    @pytest.mark.slow
+    def test_images_in_scan(self):
+        """slam_scan_images: SIFT + tracking + BA inside ONE scan over raw
+        rendered pixels — the full front-end with zero per-frame host
+        involvement. ATE bound on a known 3D scene."""
+        import dataclasses
+
+        from synth import SyntheticScene, render_scene_views
+        from fastmatch_tpu.pipeline.slam_scan import slam_scan_images
+
+        rng = np.random.default_rng(4)
+        scene = SyntheticScene(rng, n_points=60, n_frames=6,
+                               image_size=(480, 360))
+        views = render_scene_views(scene, rng, image_size=(480, 360))
+        cfg = PipelineConfig(
+            ba=BAConfig(interval=2, max_iters=8, pcg_iters=30),
+            map=MapConfig(max_frames=16, max_points=2048, max_obs=16384),
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            sift=cfg.sift._replace(capacity=512),  # SIFTConfig is a NamedTuple
+            ransac=dataclasses.replace(cfg.ransac, min_inliers=10,
+                                       thr_px=3.0),
+            matching=dataclasses.replace(cfg.matching, ratio=0.85),
+        )
+        scfg = SlamConfig(window=8, loop_gap=10 ** 6, loop_min_votes=10 ** 9)
+        cam = Pinhole.from_K(scene.K)
+        out = slam_scan_images(views, cam, cfg, scfg)
+        assert out.rec.n_frames == 6
+        est = out.rec.camera_centers()
+        gt = np.einsum("fji,fj->fi", scene.R, -scene.t)
+        ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+        assert ate < 0.35, f"image-scan ATE {ate:.3f}"
+
     def test_dropout_relocalizes_next_frame(self, setup):
         """Wreck two frames: the scan skips them (state unchanged inside
         the step) and the NEXT frame tracks with an unbounded window."""
