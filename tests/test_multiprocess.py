@@ -82,6 +82,12 @@ def test_two_process_psum_and_config_broadcast(tmp_path):
         if k not in ("XLA_FLAGS", "PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
     }
     env["JAX_PLATFORMS"] = "cpu"
+    # The workers must import fastmatch_tpu even when the editable install
+    # is absent (this container wipes the venv between sessions): put the
+    # repo's src/ on their path explicitly.
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "src")
+    env["PYTHONPATH"] = src + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), coordinator, str(pid)],

@@ -183,6 +183,11 @@ def _launch(worker, ckpt, die_at, n_steps=4):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = "cpu"
+    # Import fastmatch_tpu without relying on the (session-wiped) editable
+    # install — same fix as test_multiprocess.
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "src")
+    env["PYTHONPATH"] = src + os.pathsep + env.get("PYTHONPATH", "")
     coordinator = f"127.0.0.1:{_free_port()}"
     return [
         subprocess.Popen(
