@@ -86,6 +86,31 @@ def main():
           f"-> {n_frames / dt:.2f} frames/s (ATE {ates:.4f}); "
           f"dispatches = 1 scan + 1 final BA + 1 readback TOTAL", flush=True)
 
+    # ---- long sequence: fixed costs (bootstrap, final BA, readback)
+    #      amortize; the scan body itself runs ~3 ms/frame ----
+    from fastmatch_tpu.pipeline.config import MapConfig
+
+    n_long = 100
+    # span scales with length: SyntheticScene spreads its arc over ALL
+    # frames, so a 100-frame run needs a wider orbit for per-frame baseline
+    # (the 2-frame bootstrap needs parallax) while keeping the landmark
+    # field in view.
+    scene_l = SyntheticScene(rng, n_points=400, n_frames=n_long, span=1.2)
+    feats_l = synthetic_features(rng, scene_l)
+    cfg_l = PipelineConfig(
+        map=MapConfig(max_frames=128, max_points=16384, max_obs=131072))
+    scfg = SlamConfig(window=10, loop_gap=10**6, loop_min_votes=10**9)
+    slam_scan(feats_l, cam, cfg_l, scfg)
+    t0 = time.perf_counter()
+    out = slam_scan(feats_l, cam, cfg_l, scfg)
+    dt = time.perf_counter() - t0
+    recl = out.rec
+    estl = np.stack([-recl.R[f].T @ recl.t[f] for f in range(n_long)])
+    gtl = np.einsum("fji,fj->fi", scene_l.R[:n_long], -scene_l.t[:n_long])
+    atel = float(ate_rmse(jnp.asarray(estl), jnp.asarray(gtl)))
+    print(f"scan mode {n_long} frames: {dt:.1f}s -> {n_long / dt:.2f} "
+          f"frames/s (ATE {atel:.4f})", flush=True)
+
 
 if __name__ == "__main__":
     main()

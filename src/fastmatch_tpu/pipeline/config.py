@@ -40,6 +40,12 @@ class BAConfig:
     # camera vector is a tracer. Populated from the camera at entry; the
     # host-driven paths read camera.fx directly and ignore this.
     fx_hint: float = 500.0
+    # Scan-mode interval BA: static bucket for the LOCAL observation
+    # selection (tracker.compact_obs_local — exact; rows beyond the bucket
+    # drop oldest-first). 0 = solve over the full obs capacity. Host-driven
+    # engines bucket dynamically from the live count instead and ignore
+    # this.
+    local_obs_cap: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,6 +65,19 @@ class SlamHooks:
            covis=None, covis_thresh: int = 0) -> TrackState:
         prob = ba_problem_from_state(state, fid, window, covis=covis,
                                      covis_thresh=covis_thresh)
+        # BA cost scales with the obs TABLE size, not the live count.
+        # Two-stage compaction: (1) the exact LOCAL selection (same static
+        # bucket as scan mode, keeping the two engines decision-identical —
+        # tested bitwise), (2) a count-driven power-of-two bucket
+        # (tracker.compact_obs; one BA compile per bucket). The scalar
+        # n_obs readback is ~450 us vs the ~0.1-1 s solve it right-sizes.
+        from fastmatch_tpu.pipeline.tracker import (
+            compact_obs, compact_obs_local, obs_bucket)
+
+        if cfg.ba.local_obs_cap > 0:
+            prob = compact_obs_local(prob, cfg.ba.local_obs_cap)
+        prob = compact_obs(prob, obs_bucket(int(state.n_obs),
+                                            prob.obs.mask.shape[0]))
         res = ba_solve(prob, max_iters=cfg.ba.max_iters,
                        pcg_iters=cfg.ba.pcg_iters,
                        huber_delta_static=cfg.ba.huber_px / float(camera.fx))

@@ -68,8 +68,15 @@ from fastmatch_tpu.pipeline.tracker import (
 
 
 def _final_ba(state, cfg):
+    """Global BA at host level: bucket-compacted to the live obs count
+    (mirrors SlamHooks.ba's bucketing, so scan and per-frame drivers run
+    the identical final solve)."""
+    from fastmatch_tpu.pipeline.tracker import compact_obs, obs_bucket
+
     prob = ba_problem_from_state(state, state.n_frames,
                                  jnp.int32(FULL_WINDOW))
+    prob = compact_obs(prob, obs_bucket(int(state.n_obs),
+                                        prob.obs.mask.shape[0]))
     res = ba_solve(prob, max_iters=cfg.ba.max_iters,
                    pcg_iters=cfg.ba.pcg_iters,
                    huber_delta_static=cfg.ba.huber_px / cfg.ba.fx_hint)
@@ -83,9 +90,17 @@ def _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg, extract):
     interval = int(cfg.ba.interval)
 
     def run_ba(state, fid, window, covis):
+        from fastmatch_tpu.pipeline.tracker import compact_obs_local
+
         prob = ba_problem_from_state(
             state, fid, window,
             covis=covis, covis_thresh=scfg.ba_covis_thresh)
+        if cfg.ba.local_obs_cap > 0:
+            # Static-bucket local selection: the interval BA's cost then
+            # scales with the window's observations, not the table
+            # capacity (measured ~1 s -> ~0.1 s per in-scan solve at
+            # 131072-row capacity).
+            prob = compact_obs_local(prob, cfg.ba.local_obs_cap)
         res = ba_solve(prob, max_iters=cfg.ba.max_iters,
                        pcg_iters=cfg.ba.pcg_iters,
                        huber_delta_static=cfg.ba.huber_px / cfg.ba.fx_hint)
@@ -113,8 +128,11 @@ def _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg, extract):
 
     (state, _), infos = jax.lax.scan(
         body, (state, jnp.int32(scfg.window)), xs)
-    # Final global BA (mirrors drive_slam's end-of-sequence solve).
-    return _final_ba(state, cfg), infos
+    # The final global BA runs OUTSIDE this jit (_postprocess): at host
+    # level the observation table can be bucket-compacted to the live
+    # count (compact_obs — measured 6.5x per solve), which a traced shape
+    # inside the scan cannot.
+    return state, infos
 
 
 @partial(jax.jit, static_argnames=("tcfg", "cfg", "scfg"),
@@ -258,6 +276,7 @@ def slam_scan_images(
 
 def _postprocess(state, infos, n, frame_features, base_key, thr_n,
                  tcfg, cfg, scfg, camera, metrics, close_loops):
+    state = _final_ba(state, cfg)
     infos = jax.device_get(infos)
     ok = np.asarray(infos.ok)
     if bool(np.asarray(infos.overflow).any()):

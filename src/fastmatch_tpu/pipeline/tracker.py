@@ -426,6 +426,83 @@ def loop_verify(
     return pn, jnp.sum(m.valid, dtype=jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("bucket",))
+def compact_obs(prob: BAProblem, bucket: int) -> BAProblem:
+    """Compact the observation table to ``bucket`` rows (live rows first,
+    stable order), dropping masked padding.
+
+    Why: the device map's obs table is a fixed capacity (compile
+    stability), but BA cost scales with the TABLE size, not the live
+    count — early in a sequence that is up to capacity/n_obs (measured
+    16x on the config-3 bench) pure padding work. Live rows keep their
+    relative order (stable argsort on the mask), and masked rows
+    contribute exactly zero to every BA reduction, so the solve is
+    equivalent to tolerance (chunk boundaries of the Pallas segment
+    kernels shift — f32 grouping only; tested in test_ba).
+
+    Host drivers pick ``bucket`` from the n_obs they already read back
+    each frame (power-of-two bucketing: one BA compile per bucket).
+    Scan mode cannot use this (shapes are traced) and keeps capacity.
+    """
+    o = prob.obs
+    if bucket >= o.mask.shape[0]:
+        return prob
+    order = jnp.argsort(~o.mask, stable=True)[:bucket]
+    obs = Observations(cam_idx=jnp.where(o.mask[order], o.cam_idx[order], 0),
+                       pt_idx=jnp.where(o.mask[order], o.pt_idx[order], 0),
+                       uv=o.uv[order], mask=o.mask[order])
+    return prob._replace(obs=obs)
+
+
+def obs_bucket(n_obs: int, capacity: int, floor: int = 2048) -> int:
+    """Power-of-two bucket for a live observation count."""
+    b = floor
+    while b < n_obs:
+        b *= 2
+    return min(b, capacity)
+
+
+@partial(jax.jit, static_argnames=("bucket",))
+def compact_obs_local(prob: BAProblem, bucket: int) -> BAProblem:
+    """Compact to the rows that can influence a LOCAL BA solve, with a
+    STATIC bucket — usable inside a compiled program (scan-mode interval
+    BA), unlike the host-count-driven ``compact_obs``.
+
+    Exactness: a row whose camera AND point are both frozen has zero
+    Jacobian w.r.t. every free variable and a residual that no LM iterate
+    changes — dropping it leaves every gradient/Hessian assembly
+    bit-identical and shifts old/new costs by the SAME constant, which
+    cancels in LM accept/damping decisions up to the f32 rounding of the
+    shifted comparison. The rows that matter are exactly
+    ``mask & (pt_mask[pt_idx] | freecam[cam_idx])`` (free-point rows
+    constrain any camera; free-camera rows constrain the camera even
+    against frozen points).
+
+    Overflow policy: if more relevant rows exist than ``bucket``, the
+    NEWEST rows win (the observation table is append-ordered, and a local
+    window's constraints concentrate in recent rows); the kept rows are
+    then restored to chronological order so reductions group like the
+    uncompacted path.
+    """
+    o = prob.obs
+    O = o.mask.shape[0]
+    if bucket >= O:
+        return prob
+    freecam = prob.cam_mask & ~prob.fixed_cams
+    sel = o.mask & (prob.pt_mask[o.pt_idx] | freecam[o.cam_idx])
+    row = jnp.arange(O, dtype=jnp.int32)
+    # Ascending key: selected rows by reverse age (newest first), dropped
+    # rows at +inf.
+    key = jnp.where(sel, O - row, jnp.int32(2) * O)
+    order = jnp.argsort(key)[:bucket]
+    order = jnp.sort(order)  # back to chronological among the kept rows
+    keep = sel[order]
+    obs = Observations(cam_idx=jnp.where(keep, o.cam_idx[order], 0),
+                       pt_idx=jnp.where(keep, o.pt_idx[order], 0),
+                       uv=o.uv[order], mask=keep)
+    return prob._replace(obs=obs)
+
+
 def ba_problem_from_state(state: TrackState, f: int | jnp.ndarray,
                           window: int | jnp.ndarray,
                           free_second_cam: bool = False,

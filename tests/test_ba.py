@@ -236,3 +236,43 @@ class TestGroupedSchur:
         assert (pt[2] == 6).all()
         cam = np.asarray(g.cam_gather)
         assert set(cam[2][cam[2] < 6].tolist()) == {3, 4, 5}
+
+
+class TestCompactObs:
+    def test_bucketed_ba_equals_full(self):
+        """compact_obs (pipeline/tracker.py): BA over the bucket-compacted
+        observation table must match BA over the padded full-capacity
+        table to f32 tolerance — live rows interleaved with masked padding
+        to exercise the stable compaction, not just prefix truncation."""
+        from fastmatch_tpu.pipeline.tracker import compact_obs, obs_bucket
+
+        rng = np.random.default_rng(7)
+        scene, prob = build_problem(rng, n_frames=6, n_points=80,
+                                    perturb=0.04, cap_obs=4096)
+        # Shuffle rows so live observations scatter through the padding.
+        perm = rng.permutation(4096)
+        o = prob.obs
+        prob = prob._replace(obs=Observations(
+            o.cam_idx[perm], o.pt_idx[perm], o.uv[perm], o.mask[perm]))
+        n_live = int(np.asarray(prob.obs.mask).sum())
+        b = obs_bucket(n_live, 4096, floor=512)
+        assert b < 4096
+        small = compact_obs(prob, b)
+        assert small.obs.mask.shape[0] == b
+        assert int(np.asarray(small.obs.mask).sum()) == n_live
+        full = ba_solve(prob, max_iters=8, pcg_iters=30)
+        comp = ba_solve(small, max_iters=8, pcg_iters=30)
+        np.testing.assert_allclose(np.asarray(comp.poses.t),
+                                   np.asarray(full.poses.t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(comp.points),
+                                   np.asarray(full.points), atol=1e-4)
+
+    def test_bucket_at_capacity_is_identity(self):
+        from fastmatch_tpu.pipeline.tracker import compact_obs, obs_bucket
+
+        rng = np.random.default_rng(8)
+        _, prob = build_problem(rng, cap_obs=1024)
+        assert obs_bucket(900, 1024) == 1024
+        same = compact_obs(prob, 1024)
+        np.testing.assert_array_equal(np.asarray(same.obs.mask),
+                                      np.asarray(prob.obs.mask))
