@@ -108,9 +108,13 @@ def _graph_cost(poses: SE3, g: PoseGraph, delta, kernel: str):
     return jnp.sum(g.edge_weight * _robust_cost(rn, delta, kernel))
 
 
-def _build_normal_eqs(poses: SE3, g: PoseGraph, huber_delta: float | None,
-                      kernel: str = "huber"):
-    n = poses.R.shape[0]
+def _edge_normal_blocks(poses: SE3, g: PoseGraph, huber_delta: float | None,
+                        kernel: str = "huber"):
+    """Per-edge 6x6 normal-equation blocks (IRLS-weighted):
+    (Hii, Hjj, Hij, gi, gj, w, r). Shared by the dense assembly and the
+    matrix-free PCG path — the blocks ARE the Hessian; only what happens
+    to them next differs (scatter into a dense (6N, 6N) vs gather/segment-sum
+    matvecs)."""
     r, Ji, Jj = _edge_jacobians(poses, g)
     w = g.edge_weight
     if huber_delta is not None:
@@ -122,6 +126,14 @@ def _build_normal_eqs(poses: SE3, g: PoseGraph, huber_delta: float | None,
     Hij = jnp.einsum("eki,ekj->eij", Ji * wv, Jj)
     gi = jnp.einsum("eki,ek->ei", Ji * wv, r)
     gj = jnp.einsum("eki,ek->ei", Jj * wv, r)
+    return Hii, Hjj, Hij, gi, gj, w, r
+
+
+def _build_normal_eqs(poses: SE3, g: PoseGraph, huber_delta: float | None,
+                      kernel: str = "huber"):
+    n = poses.R.shape[0]
+    Hii, Hjj, Hij, gi, gj, w, r = _edge_normal_blocks(
+        poses, g, huber_delta, kernel)
     H = jnp.zeros((n, 6, n, 6))
     H = H.at[g.edge_i, :, g.edge_i, :].add(Hii)
     H = H.at[g.edge_j, :, g.edge_j, :].add(Hjj)
@@ -132,6 +144,76 @@ def _build_normal_eqs(poses: SE3, g: PoseGraph, huber_delta: float | None,
     return H.reshape(6 * n, 6 * n), grad.reshape(6 * n), cost
 
 
+def _pcg_normal_step(g: PoseGraph, poses: SE3, lam, huber_delta, kernel,
+                     upd, pcg_iters: int):
+    """One LM linearization solved matrix-free (component T15 at config-5
+    scale): the damped gauge-masked normal equations
+    ``(H + lam diag(H)) dx = -grad`` via block-Jacobi-preconditioned CG,
+    never materializing the (6N, 6N) Hessian — at 10k+ keyframes
+    (BASELINE.json:12) the dense matrix alone would be 14+ GB. Per matvec:
+    two (E, 6) gathers of the trial vector, four (E, 6, 6)x(E, 6) batched
+    block products, two segment-sum scatters back to poses — the same
+    gather/segment-sum discipline as ba/schur.py, whose measured TPU costs
+    (docs/PERFORMANCE.md "random access") this reuses. Fixed iteration
+    count, stagnation-guarded alpha/beta (extra iterations are numeric
+    no-ops), identical gauge semantics to the dense path (fixed poses ride
+    an identity block, zero gradient)."""
+    n = poses.R.shape[0]
+    Hii, Hjj, Hij, gi, gj, _, _ = _edge_normal_blocks(
+        poses, g, huber_delta, kernel)
+
+    def seg(vals, idx):
+        return jax.ops.segment_sum(vals, idx, num_segments=n)
+
+    updc = upd[:, None]
+    grad = (seg(gi, g.edge_i) + seg(gj, g.edge_j)) * updc      # (N, 6)
+    D = seg(Hii, g.edge_i) + seg(Hjj, g.edge_j)                # (N, 6, 6)
+    d = jnp.diagonal(D, axis1=-2, axis2=-1)                    # (N, 6)
+    damp = lam * d + 1e-10
+    # Block-Jacobi preconditioner = the damped diagonal blocks of the
+    # gauge-masked system (identity on fixed poses, as in the dense path).
+    eye6 = jnp.eye(6, dtype=D.dtype)
+    Dd = D + jax.vmap(jnp.diag)(damp)
+    Dd = jnp.where(upd[:, None, None] > 0, Dd, eye6)
+    Minv = jnp.linalg.inv(Dd)
+
+    def matvec(x):                                             # x: (N, 6)
+        xm = x * updc
+        xi = xm[g.edge_i]
+        xj = xm[g.edge_j]
+        yi = (jnp.einsum("eij,ej->ei", Hii, xi)
+              + jnp.einsum("eij,ej->ei", Hij, xj))
+        yj = (jnp.einsum("eji,ej->ei", Hij, xi)
+              + jnp.einsum("eij,ej->ei", Hjj, xj))
+        y = seg(yi, g.edge_i) + seg(yj, g.edge_j) + damp * xm
+        return y * updc + (1.0 - updc) * x
+
+    def precond(r):
+        return jnp.einsum("nij,nj->ni", Minv, r)
+
+    r0 = -grad
+    z0 = precond(r0)
+
+    def body(_, state):
+        x, r, z, p, rz = state
+        Hp = matvec(p)
+        pHp = jnp.sum(p * Hp)
+        alpha = jnp.where(jnp.abs(pHp) < 1e-20, 0.0,
+                          rz / jnp.where(jnp.abs(pHp) < 1e-20, 1.0, pHp))
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) < 1e-20, 0.0,
+                         rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1.0, rz))
+        return x, r, z, p * beta + z, rz_new
+
+    dx, *_ = jax.lax.fori_loop(
+        0, pcg_iters, body,
+        (jnp.zeros_like(r0), r0, z0, z0, jnp.sum(r0 * z0)))
+    return dx
+
+
 class PGOResult(NamedTuple):
     poses: SE3
     cost0: jnp.ndarray
@@ -139,7 +221,8 @@ class PGOResult(NamedTuple):
     iters: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("max_iters", "huber_delta_static", "kernel"))
+@partial(jax.jit, static_argnames=("max_iters", "huber_delta_static", "kernel",
+                                   "solver", "pcg_iters"))
 def pgo_solve(
     g: PoseGraph,
     max_iters: int = 30,
@@ -147,8 +230,17 @@ def pgo_solve(
     huber_delta_static: float | None = None,
     kernel: str = "huber",
     rtol: float = 1e-8,
+    solver: str = "dense",
+    pcg_iters: int = 64,
 ) -> PGOResult:
-    """LM on the pose graph; dense damped-Cholesky inner solve."""
+    """LM on the pose graph. ``solver="dense"`` (default): one damped
+    Cholesky factorization of the full (6N, 6N) system per iteration —
+    MXU-friendly and fastest up to ~1-2k poses (config 4). ``solver="pcg"``:
+    matrix-free block-Jacobi PCG (``_pcg_normal_step``) — O(E) memory, the
+    only option at config-5 scale (10k+ keyframes, BASELINE.json:12) where
+    the dense Hessian would be 14+ GB."""
+    if solver not in ("dense", "pcg"):
+        raise ValueError(f"unknown solver {solver!r}")
     n = g.poses.R.shape[0]
     upd = (g.pose_mask & ~g.fixed).astype(jnp.float32)
     upd6 = jnp.repeat(upd, 6)
@@ -158,18 +250,25 @@ def pgo_solve(
 
     cost0 = cost_of(g.poses.R, g.poses.t)
 
-    def body(state):
-        R, t, lam, cost, it, done = state
-        H, grad, _ = _build_normal_eqs(SE3(R, t), g, huber_delta_static, kernel)
+    def dense_step(poses, lam):
+        H, grad, _ = _build_normal_eqs(poses, g, huber_delta_static, kernel)
         # Gauge: zero out fixed rows/cols, identity on their diagonal.
         H = H * upd6[:, None] * upd6[None, :] + jnp.diag(1.0 - upd6)
         grad = grad * upd6
         d = jnp.diagonal(H)
         Hd = H + jnp.diag(lam * d + 1e-10)
         L = jnp.linalg.cholesky(Hd)
-        dx = -jax.scipy.linalg.cho_solve((L, True), grad)
+        return -jax.scipy.linalg.cho_solve((L, True), grad).reshape(n, 6)
+
+    def body(state):
+        R, t, lam, cost, it, done = state
+        if solver == "dense":
+            dx = dense_step(SE3(R, t), lam)
+        else:
+            dx = _pcg_normal_step(g, SE3(R, t), lam, huber_delta_static,
+                                  kernel, upd, pcg_iters)
         bad = jnp.any(jnp.isnan(dx))
-        dx = jnp.where(bad, 0.0, dx).reshape(n, 6) * upd[:, None]
+        dx = jnp.where(bad, 0.0, dx) * upd[:, None]
         newp = jax.vmap(lambda tw, R_, t_: SE3.exp(tw).compose(SE3(R_, t_)))(dx, R, t)
         new_cost = cost_of(newp.R, newp.t)
         accept = (new_cost < cost) & ~bad

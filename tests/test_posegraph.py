@@ -109,6 +109,27 @@ class TestPGO:
         np.testing.assert_allclose(np.asarray(res.poses.R[0]),
                                    np.asarray(g.poses.R[0]), atol=1e-7)
 
+    def test_pcg_matches_dense(self, rng):
+        """Matrix-free PCG and dense Cholesky solve the SAME normal
+        equations — final costs and trajectories must agree."""
+        g, Rg, tg = build_graph(rng, n=60, drift=0.02, loop=True)
+        rd = pgo_solve(g, max_iters=40)
+        rp = pgo_solve(g, max_iters=40, solver="pcg", pcg_iters=100)
+        gt = jnp.asarray(centers(Rg, tg))
+        ate_d = float(ate_rmse(jnp.asarray(centers(rd.poses.R, rd.poses.t)), gt))
+        ate_p = float(ate_rmse(jnp.asarray(centers(rp.poses.R, rp.poses.t)), gt))
+        assert float(rp.cost) < float(rp.cost0)
+        # Same optimum to LM-path tolerance (iterate orders may differ).
+        assert abs(float(rp.cost) - float(rd.cost)) <= 0.05 * max(
+            float(rd.cost), 1e-8) + 1e-6
+        assert ate_p < max(1.5 * ate_d, 0.02), f"pcg {ate_p} vs dense {ate_d}"
+
+    def test_pcg_fixed_pose_unmoved(self, rng):
+        g, *_ = build_graph(rng, n=20, drift=0.02)
+        res = pgo_solve(g, max_iters=15, solver="pcg")
+        np.testing.assert_allclose(np.asarray(res.poses.R[0]),
+                                   np.asarray(g.poses.R[0]), atol=1e-7)
+
     def test_huber_rejects_bad_loop(self, rng):
         g, Rg, tg = build_graph(rng, n=40, drift=0.015, loop=True, bad_loop=True)
         res_plain = pgo_solve(g, max_iters=40)

@@ -121,3 +121,71 @@ class TestPoseGraph500:
         ate1 = float(ate_rmse(jnp.asarray(centers(res.poses.R, res.poses.t)), gt_c))
         assert float(res.cost) < float(res.cost0)
         assert ate1 < 0.25 * ate0, f"PGO ATE {ate1} !< 0.25 * {ate0}"
+
+
+@pytest.mark.slow
+class TestPoseGraph10k:
+    """Config-5 scale (BASELINE.json:12, 10k+ keyframes): the dense PGO
+    Hessian would be (60k, 60k) = 14.4 GB — only the matrix-free PCG solver
+    (pgo_solve(solver="pcg")) can run this graph. Vectorized builder: the
+    500-kf test's Python compose-per-frame loop would be 10k jnp dispatches."""
+
+    def test_10k_keyframe_pcg(self, rng):
+        n = 10_000
+        ang = 2 * np.pi * np.arange(n) / n
+        c, s = np.cos(ang), np.sin(ang)
+        Rw = np.zeros((n, 3, 3), np.float32)
+        Rw[:, 0, 0] = c; Rw[:, 0, 1] = -s
+        Rw[:, 1, 0] = s; Rw[:, 1, 1] = c
+        Rw[:, 2, 2] = 1.0
+        Rg = np.swapaxes(Rw, 1, 2).copy()                     # world->cam
+        eye = np.stack([100 * c, 100 * s, np.zeros(n)], 1).astype(np.float32)
+        tg = -np.einsum("nij,nj->ni", Rg, eye).astype(np.float32)
+
+        def rel_np(Ra, ta, Rb, tb):
+            """Z_ab = T_a T_b^-1, batched numpy."""
+            R = np.einsum("nij,nkj->nik", Ra, Rb)
+            t = ta - np.einsum("nij,nj->ni", R, tb)
+            return R.astype(np.float32), t.astype(np.float32)
+
+        # Init: GT perturbed by a smooth random-walk twist (cumsum), applied
+        # with ONE vmapped exp-compose call.
+        steps = 0.001 * rng.standard_normal((n, 6)).astype(np.float32)
+        steps[0] = 0.0
+        walk = jnp.asarray(np.cumsum(steps, axis=0))
+        perturb = jax.vmap(SE3.exp)(walk)
+        init = perturb.compose(SE3(jnp.asarray(Rg), jnp.asarray(tg)))
+
+        # Odometry edges (k, k-1) with GT measurements + i.i.d. noise, plus
+        # a loop closure every 500 frames (k, k-500), exact.
+        oi = np.arange(1, n, dtype=np.int32)
+        oj = oi - 1
+        ZRo, Zto = rel_np(Rg[oi], tg[oi], Rg[oj], tg[oj])
+        nz = jax.vmap(SE3.exp)(jnp.asarray(
+            0.002 * rng.standard_normal((n - 1, 6)).astype(np.float32)))
+        Zo = nz.compose(SE3(jnp.asarray(ZRo), jnp.asarray(Zto)))
+        li = np.arange(500, n, 500, dtype=np.int32)
+        lj = li - 500
+        ZRl, Ztl = rel_np(Rg[li], tg[li], Rg[lj], tg[lj])
+
+        fixed = np.zeros(n, bool); fixed[0] = True
+        g = PoseGraph(
+            poses=init,
+            edge_i=jnp.asarray(np.concatenate([oi, li])),
+            edge_j=jnp.asarray(np.concatenate([oj, lj])),
+            Z=SE3(jnp.concatenate([Zo.R, jnp.asarray(ZRl)]),
+                  jnp.concatenate([Zo.t, jnp.asarray(Ztl)])),
+            edge_weight=jnp.ones(len(oi) + len(li), jnp.float32),
+            pose_mask=jnp.ones(n, bool),
+            fixed=jnp.asarray(fixed),
+        )
+
+        def centers(R, t):
+            return -np.einsum("nji,nj->ni", np.asarray(R), np.asarray(t))
+
+        gt_c = jnp.asarray(centers(Rg, tg))
+        ate0 = float(ate_rmse(jnp.asarray(centers(init.R, init.t)), gt_c))
+        res = pgo_solve(g, max_iters=12, solver="pcg", pcg_iters=80)
+        ate1 = float(ate_rmse(jnp.asarray(centers(res.poses.R, res.poses.t)), gt_c))
+        assert float(res.cost) < float(res.cost0)
+        assert ate1 < 0.5 * ate0, f"10k PGO ATE {ate1} !< 0.5 * {ate0}"
