@@ -104,7 +104,7 @@ def _batch_match_kernel(
 
     # ---- pass 1: per-chunk query top-2 + running bank-row argmin ----
     def body1(c, carry):
-        colv, coli, i1f, d1f, d2f = carry
+        colv, coli, i1f, d1f, d2f, t1f = carry
         r0 = c * tile_n
         # Operands arrive pre-cast (bf16 when fast) from match_batch_fused:
         # casting inside this body cost a measured ~0.4 ms/batch of pure VPU
@@ -129,7 +129,25 @@ def _batch_match_kernel(
         d1f = row_place(d1f, d1, r0, lid_n)
         d2f = row_place(d2f, d2nd, r0, lid_n)
 
-        if cross_check:
+        if cross_check and fast:
+            # Fast cross-check (round 3): track only the per-bank-row column
+            # MINIMUM VALUE over the full-matrix column scores
+            # tmp = srow + a2 (identical value set to the exact path's
+            # scol = neg2 + a2, since srow + a2 = neg2 + b2m + a2 and
+            # colv' folds the +b2m in — argmins over a row are unchanged by
+            # a per-row constant). 2 (M, TN) VPU ops per chunk vs the exact
+            # path's 5 (scol add, min, ==-compare, select, index-min): the
+            # mutual test moves to a VALUE comparison in pass 2. Decisions
+            # differ from the anchor only when two distinct query columns
+            # attain the same f32 score for a bank row (exact duplicate
+            # descriptors) — both then pass where the anchor keeps the
+            # lowest index; covered by bench.py's >=99% agreement gate.
+            tmp = srow + a2                        # (M, TN)
+            cm = jnp.min(tmp, axis=1, keepdims=True)   # (M, 1)
+            colv = jnp.minimum(colv, cm)
+            t1 = v1 + a2                           # unclamped, == tmp[i1, q]
+            t1f = row_place(t1f, t1, r0, lid_n)
+        elif cross_check:
             scol = neg2 + a2                       # (M, TN)
             cm = jnp.min(scol, axis=1, keepdims=True)   # (M, 1)
             lid = jax.lax.broadcasted_iota(jnp.int32, scol.shape, 1)
@@ -138,19 +156,35 @@ def _batch_match_kernel(
             win = cm < colv  # strict <: earlier chunks win ties
             colv = jnp.where(win, cm, colv)
             coli = jnp.where(win, ca, coli)
-        return colv, coli, i1f, d1f, d2f
+        return colv, coli, i1f, d1f, d2f, t1f
 
     colv0 = jnp.full((m, 1), BIG, jnp.float32)
     coli0 = jnp.zeros((m, 1), jnp.int32)
     zrow = jnp.zeros((1, n), jnp.float32)
-    colv, coli, i1f, d1f, d2f = jax.lax.fori_loop(
+    colv, coli, i1f, d1f, d2f, t1f = jax.lax.fori_loop(
         0, n_chunks, body1,
-        (colv0, coli0, jnp.zeros((1, n), jnp.int32), zrow, zrow))
+        (colv0, coli0, jnp.zeros((1, n), jnp.int32), zrow, zrow, zrow))
 
     # ---- pass 2: ratio + mutual over the finalized argmin column ----
     maskf = a2row < BIG
     okf = maskf & (d1f < r2 * d2f) & (d2f < BIG)
-    if cross_check:
+    if cross_check and fast:
+        def body2f(c, mut):
+            r0 = c * tile_n
+            i1 = row_chunk(i1f, r0)               # (1, TN) i32
+            # Extract colv[i1[q]] by one-hot select+min, then test by VALUE:
+            # mutual[q] = (tmp[i1[q], q] == min_col tmp[i1[q], :]); the
+            # left side is exactly t1f (same f32 expression, see body1).
+            rid = jax.lax.broadcasted_iota(jnp.int32, (m, tile_n), 0)
+            cbest = jnp.min(jnp.where(rid == i1, colv, BIG),
+                            axis=0, keepdims=True)     # (1, TN)
+            mc = (row_chunk(t1f, r0) <= cbest).astype(jnp.int32)
+            return row_place(mut, mc, r0, lid_n)
+
+        mut = jax.lax.fori_loop(
+            0, n_chunks, body2f, jnp.zeros((1, n), jnp.int32))
+        okf = okf & (mut > 0)
+    elif cross_check:
         def body2(c, mut):
             r0 = c * tile_n
             i1 = row_chunk(i1f, r0)               # (1, TN) i32

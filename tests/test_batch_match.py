@@ -60,6 +60,31 @@ class TestBatchMatchFused:
             np.testing.assert_allclose(np.asarray(out.dist[i])[v],
                                        np.asarray(ref.dist)[v], rtol=1e-6)
 
+    @pytest.mark.parametrize("cross_check", [True, False])
+    def test_fast_value_crosscheck_parity(self, batch, cross_check):
+        """fast=True swaps the exact column-argmin cross-check for the
+        value-based mutual test (round 3). With descriptors pre-quantized to
+        bf16-representable values the fast path's operand cast is value-exact,
+        so its decisions must equal the anchor's bit-for-bit — the value-based
+        mutual check diverges only on exact f32 column-score ties, absent in
+        random data. Covers the adversarial masks of the shared fixture."""
+        DA, DB = batch
+        q = lambda d: Descriptors(
+            d.data.astype(jnp.bfloat16).astype(jnp.float32), d.mask)
+        DAq, DBq = q(DA), q(DB)
+        out = match_batch_fused(DAq, DBq, cross_check=cross_check,
+                                fast=True, interpret=True)
+        for i in range(DAq.data.shape[0]):
+            ref = match_pair_jnp(
+                Descriptors(DAq.data[i], DAq.mask[i]),
+                Descriptors(DBq.data[i], DBq.mask[i]),
+                cross_check=cross_check)
+            assert np.array_equal(np.asarray(out.valid[i]),
+                                  np.asarray(ref.valid)), i
+            v = np.asarray(ref.valid)
+            assert np.array_equal(np.asarray(out.idx[i])[v],
+                                  np.asarray(ref.idx)[v]), i
+
     def test_correlated_pairs_match_correctly(self):
         rng = np.random.default_rng(7)
         N = 256
