@@ -1,0 +1,211 @@
+"""City-scale benchmark (BASELINE.json config 5, single-chip legs): the
+"10k+ keyframes" scale run on ONE v5e chip.
+
+Two legs, both sized to 10,000 keyframes:
+
+1. Pose-graph optimization over the full 10k-keyframe trajectory with
+   loop closures — the matrix-free block-Jacobi-PCG solver
+   (posegraph/pgo.py, solver="pcg"; the dense Hessian would be 14+ GB).
+   Reports LM iters/s and the cost drop.
+
+2. Loop-closure retrieval against the whole city: one query frame
+   (2048 descriptors) vs a 10k-keyframe x 400-descriptor bank
+   (4,000,000 rows, 2 GB f32 on device) — the exact chunked matcher vs
+   the IVF cluster-sorted shortlist (matching/ann.py match_pair_ann_big),
+   plus shortlist recall vs exact. This is the workload the ~100k-row
+   IVF crossover (docs/PERFORMANCE.md) extrapolates to; here the
+   shortlist should win by ~5-10x.
+
+The multi-host legs of config 5 (sharded retrieval + distributed BA) are
+structure-validated on the 8-device CPU mesh (tests/test_dist_pipeline.py,
+tests/test_config5_sim.py) and dry-run compiled by __graft_entry__; their
+wall-clock needs a real pod slice which this container does not have.
+
+    /opt/venv/bin/python benchmarks/city_bench.py [n_keyframes] [desc_per_kf]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "src"))
+
+import numpy as np
+
+
+def bench_pgo_10k(n, rng):
+    import jax
+    import jax.numpy as jnp
+    from fastmatch_tpu.core.lie import SE3
+    from fastmatch_tpu.posegraph.pgo import PoseGraph, pgo_solve
+
+    ang = 2 * np.pi * np.arange(n) / n
+    c, s = np.cos(ang), np.sin(ang)
+    Rw = np.zeros((n, 3, 3), np.float32)
+    Rw[:, 0, 0] = c; Rw[:, 0, 1] = -s
+    Rw[:, 1, 0] = s; Rw[:, 1, 1] = c
+    Rw[:, 2, 2] = 1.0
+    Rg = np.swapaxes(Rw, 1, 2).copy()
+    eye = np.stack([100 * c, 100 * s, np.zeros(n)], 1).astype(np.float32)
+    tg = -np.einsum("nij,nj->ni", Rg, eye).astype(np.float32)
+
+    def rel_np(Ra, ta, Rb, tb):
+        R = np.einsum("nij,nkj->nik", Ra, Rb)
+        t = ta - np.einsum("nij,nj->ni", R, tb)
+        return R.astype(np.float32), t.astype(np.float32)
+
+    steps = 0.001 * rng.standard_normal((n, 6)).astype(np.float32)
+    steps[0] = 0.0
+    walk = jnp.asarray(np.cumsum(steps, axis=0))
+    init = jax.vmap(SE3.exp)(walk).compose(SE3(jnp.asarray(Rg), jnp.asarray(tg)))
+
+    oi = np.arange(1, n, dtype=np.int32)
+    oj = oi - 1
+    ZRo, Zto = rel_np(Rg[oi], tg[oi], Rg[oj], tg[oj])
+    nz = jax.vmap(SE3.exp)(jnp.asarray(
+        0.002 * rng.standard_normal((n - 1, 6)).astype(np.float32)))
+    Zo = nz.compose(SE3(jnp.asarray(ZRo), jnp.asarray(Zto)))
+    li = np.arange(500, n, 500, dtype=np.int32)
+    lj = li - 500
+    ZRl, Ztl = rel_np(Rg[li], tg[li], Rg[lj], tg[lj])
+
+    ei = np.concatenate([oi, li])
+    ej = np.concatenate([oj, lj])
+    ZR = jnp.concatenate([Zo.R, jnp.asarray(ZRl)])
+    Zt = jnp.concatenate([Zo.t, jnp.asarray(Ztl)])
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    g = PoseGraph(
+        poses=init,
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        Z=SE3(ZR, Zt),
+        edge_weight=jnp.ones(ei.shape[0], jnp.float32),
+        pose_mask=jnp.ones(n, bool),
+        fixed=jnp.asarray(fixed),
+    )
+    max_iters = 30
+    solve = lambda: pgo_solve(g, max_iters=max_iters, solver="pcg",
+                              pcg_iters=64, huber_delta_static=0.5,
+                              kernel="geman", rtol=0.0)
+    import jax
+    t0 = time.perf_counter()
+    res = solve()
+    np.asarray(res.poses.R[:1])  # force a real round-trip (relay protocol)
+    compile_s = time.perf_counter() - t0
+    # Timing protocol (see bench.py): throwaway loop, then best-of-3 with a
+    # forced readback — block_until_ready alone is unreliable via the relay.
+    for _ in range(2):
+        res = solve()
+    np.asarray(res.poses.R[:1])
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solve()
+        np.asarray(res.poses.R[:1])
+        dt = min(dt, time.perf_counter() - t0)
+    it = int(res.iters)
+    print(f"PGO {n} keyframes ({ei.shape[0]} edges), PCG solver: "
+          f"{dt:.2f}s for {it} LM iters -> {it / dt:.1f} LM iters/s "
+          f"(cost {float(res.cost0):.2e} -> {float(res.cost):.2e}; "
+          f"first compile {compile_s:.0f}s)", flush=True)
+
+
+def bench_retrieval_city(n_kf, per_kf, rng):
+    import jax
+    import jax.numpy as jnp
+    from fastmatch_tpu.core.containers import Descriptors
+    from fastmatch_tpu.matching.ann import build_index_sorted, match_pair_ann_big
+    from fastmatch_tpu.matching.matcher import match_pair
+
+    M = n_kf * per_kf
+    print(f"bank: {n_kf} kf x {per_kf} desc = {M:,} rows "
+          f"({M * 128 * 4 / 2**30:.1f} GiB f32)", flush=True)
+    # City structure: the codebook scales with M (~16 rows/word — with a
+    # fixed small codebook 4M rows pack so densely that d2 -> d1 and the
+    # Lowe ratio test correctly rejects nearly every query), and keyframe k
+    # draws its words from a sliding window of the codebook (spatial
+    # locality: consecutive keyframes co-observe words, distant ones
+    # don't) — the structure a loop-closure query exploits.
+    n_words = max(4096, M // 16)
+    wpk = n_words // n_kf  # fresh words per keyframe
+    words = np.abs(rng.standard_normal((n_words, 128))).astype(np.float32)
+    words /= np.linalg.norm(words, axis=1, keepdims=True)
+    # Per-row noise 0.3: rows share word structure but stay individually
+    # distinct (a bank of near-duplicates would fail the ratio test).
+    chunks = []
+    kf_per_chunk = max(1, (1 << 20) // per_kf)
+    for k0 in range(0, n_kf, kf_per_chunk):
+        ks = np.arange(k0, min(k0 + kf_per_chunk, n_kf))
+        base = np.repeat(ks * wpk, per_kf)
+        wid = (base + rng.integers(0, max(3 * wpk, 1), base.shape[0])) % n_words
+        w = words[wid]
+        d = np.abs(w + 0.3 * rng.standard_normal(w.shape).astype(np.float32))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        chunks.append(d)
+    bank_np = np.concatenate(chunks)
+    bank = Descriptors(jnp.asarray(bank_np), jnp.ones(M, bool))
+
+    # Query frame: a REVISIT of one place — re-observes the rows of three
+    # consecutive keyframes (visually coherent, like a real loop-closure
+    # query; 2048-slot frame capacity, per-row masked).
+    j = int(rng.integers(0, n_kf - 3))
+    src = np.arange(j * per_kf, (j + 3) * per_kf)
+    rng.shuffle(src)
+    src = src[: min(2048, src.shape[0])]
+    nq = src.shape[0]
+    q = np.zeros((2048, 128), np.float32)
+    q[:nq] = np.abs(bank_np[src]
+                    + 0.05 * rng.standard_normal((nq, 128)).astype(np.float32))
+    q[:nq] /= np.linalg.norm(q[:nq], axis=1, keepdims=True)
+    qmask = np.zeros(2048, bool)
+    qmask[:nq] = True
+    qd = Descriptors(jnp.asarray(q), jnp.asarray(qmask))
+
+    t0 = time.perf_counter()
+    idx = build_index_sorted(jax.random.PRNGKey(0), bank, n_clusters=1024,
+                             iters=10)
+    jax.block_until_ready(idx.centroids)
+    t_build = time.perf_counter() - t0
+
+    def timeit(f, reps=10):
+        out = f()
+        jax.block_until_ready(out.idx)
+        for _ in range(2):
+            outs = [f() for _ in range(3)]
+        jax.block_until_ready(outs[-1].idx)
+        t0 = time.perf_counter()
+        outs = [f() for _ in range(reps)]
+        jax.block_until_ready(outs[-1].idx)
+        return (time.perf_counter() - t0) / reps, out
+
+    t_exact, m_exact = timeit(lambda: match_pair(qd, bank))
+    t_ivf, m_ivf = timeit(lambda: match_pair_ann_big(qd, idx, budget=65536,
+                                                     n_probe=8))
+    ve = np.asarray(m_exact.valid)
+    vi = np.asarray(m_ivf.valid)
+    print(f"  valid: exact {int(ve.sum())}/2048, shortlist {int(vi.sum())}",
+          flush=True)
+    agree = (np.asarray(m_exact.idx)[ve & vi] == np.asarray(m_ivf.idx)[ve & vi])
+    recall = float(agree.mean()) if agree.size else float("nan")
+    print(f"retrieval (1 frame x {M:,} rows): exact {t_exact * 1e3:.1f} ms, "
+          f"IVF shortlist {t_ivf * 1e3:.1f} ms ({t_exact / t_ivf:.1f}x), "
+          f"shortlist agreement {recall:.3f} on {int((ve & vi).sum())} "
+          f"co-valid matches; index build {t_build:.1f}s one-time",
+          flush=True)
+
+
+def main():
+    n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    per_kf = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    rng = np.random.default_rng(0)
+    import jax
+    print(f"backend={jax.default_backend()}", flush=True)
+    leg = os.environ.get("CITY_LEG", "all")
+    if leg in ("all", "pgo"):
+        bench_pgo_10k(n_kf, rng)
+    if leg in ("all", "retrieval"):
+        bench_retrieval_city(n_kf, per_kf, rng)
+
+
+if __name__ == "__main__":
+    main()

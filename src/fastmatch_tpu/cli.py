@@ -174,10 +174,29 @@ def _load_features(args, cfg):
         if expected != len(paths):
             raise IOError(f"failed to decode {paths[expected]}")
     fx = args.focal
-    cam = Pinhole.from_K(
-        np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
-    )
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
+    dist = tuple(float(x) for x in args.dist.split(",")) if getattr(
+        args, "dist", "") else ()
+    if getattr(args, "camera_model", "pinhole") == "fisheye":
+        from fastmatch_tpu.core.camera import Fisheye
+
+        cam = Fisheye.from_K(K, dist)
+    else:
+        cam = Pinhole.from_K(K, dist)
     return feats, cam
+
+
+def _add_camera_args(sp):
+    sp.add_argument("--focal", type=float, default=500.0)
+    sp.add_argument("--camera-model", choices=("pinhole", "fisheye"),
+                    default="pinhole",
+                    help="pinhole = Brown-Conrady distortion "
+                         "(k1,k2,k3,p1,p2); fisheye = equidistant "
+                         "theta-polynomial (k1,k2,k3,k4)")
+    sp.add_argument("--dist", default="",
+                    help="comma-separated distortion coefficients, e.g. "
+                         "'-0.28,0.07' (pinhole k1,k2[,k3[,p1,p2]] or "
+                         "fisheye k1[,k2[,k3[,k4]]])")
 
 
 def cmd_reconstruct(args):
@@ -426,7 +445,7 @@ def main(argv=None):
 
     sp = sub.add_parser("reconstruct")
     sp.add_argument("input", help="image dir or features .npz")
-    sp.add_argument("--focal", type=float, default=500.0)
+    _add_camera_args(sp)
     sp.add_argument("--out")
     sp.add_argument("--checkpoint")
     sp.add_argument("--metrics", help="write JSONL metrics here")
@@ -436,7 +455,7 @@ def main(argv=None):
 
     sp = sub.add_parser("slam")
     sp.add_argument("input", help="image dir or features .npz")
-    sp.add_argument("--focal", type=float, default=500.0)
+    _add_camera_args(sp)
     sp.add_argument("--window", type=int, default=8)
     sp.add_argument("--loop-gap", type=int, default=12)
     sp.add_argument("--loop-min-votes", type=int, default=25)
@@ -468,7 +487,7 @@ def main(argv=None):
     sp.add_argument("map", help="map checkpoint dir (slam/reconstruct "
                     "--checkpoint output)")
     sp.add_argument("input", help="feature .npz or image directory")
-    sp.add_argument("--focal", type=float, default=500.0)
+    _add_camera_args(sp)
     sp.add_argument("--frame", type=int, default=-1,
                     help="localize only this frame (-1 = all)")
     sp.add_argument("--thr-px", type=float, default=2.0)

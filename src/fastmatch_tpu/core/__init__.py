@@ -5,7 +5,7 @@ from fastmatch_tpu.core.containers import (
     pad_to_capacity,
 )
 from fastmatch_tpu.core.lie import SE3, SO3
-from fastmatch_tpu.core.camera import Pinhole
+from fastmatch_tpu.core.camera import Fisheye, Pinhole
 
 __all__ = [
     "Descriptors",
@@ -14,5 +14,6 @@ __all__ = [
     "pad_to_capacity",
     "SE3",
     "SO3",
+    "Fisheye",
     "Pinhole",
 ]

@@ -46,6 +46,13 @@ class BAConfig:
     # engines bucket dynamically from the live count instead and ignore
     # this.
     local_obs_cap: int = 8192
+    # Interval-BA budgets (round 3): the every-N-frames drift-control solve
+    # starts warm (the previous interval's solution) and is re-polished by
+    # the final global BA, so it needs far fewer iterations than a cold
+    # solve. 0 = inherit max_iters / pcg_iters. Both engines (scan and
+    # per-frame driver) read the same knobs — engine parity is preserved.
+    interval_max_iters: int = 0
+    interval_pcg_iters: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -158,19 +158,11 @@ class Reconstruction:
 
 
 def _normalize(uv_px: np.ndarray, cam: Pinhole) -> np.ndarray:
-    f = np.array([float(cam.fx), float(cam.fy)])
-    c = np.array([float(cam.cx), float(cam.cy)])
-    xd = (uv_px - c) / f
-    k1 = float(cam.k1) if np.ndim(cam.k1) == 0 else 0.0
-    k2 = float(cam.k2) if np.ndim(cam.k2) == 0 else 0.0
-    if k1 or k2:
-        # Invert radial distortion (same fixed point as Pinhole.unproject).
-        xn = xd.copy()
-        for _ in range(10):
-            r2 = np.sum(xn * xn, axis=-1, keepdims=True)
-            xn = xd / (1.0 + k1 * r2 + k2 * r2 * r2)
-        return xn
-    return xd
+    """Pixels -> normalized coords for any camera model (host path);
+    shared implementation in core/camera.normalize_np."""
+    from fastmatch_tpu.core.camera import normalize_np
+
+    return normalize_np(uv_px, cam)
 
 
 def _pad_for_ransac(arrs, n: int, bucket: int | None = None):

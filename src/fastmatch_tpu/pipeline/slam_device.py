@@ -78,8 +78,9 @@ class SlamHooks:
             prob = compact_obs_local(prob, cfg.ba.local_obs_cap)
         prob = compact_obs(prob, obs_bucket(int(state.n_obs),
                                             prob.obs.mask.shape[0]))
-        res = ba_solve(prob, max_iters=cfg.ba.max_iters,
-                       pcg_iters=cfg.ba.pcg_iters,
+        res = ba_solve(prob,
+                       max_iters=cfg.ba.interval_max_iters or cfg.ba.max_iters,
+                       pcg_iters=cfg.ba.interval_pcg_iters or cfg.ba.pcg_iters,
                        huber_delta_static=cfg.ba.huber_px / float(camera.fx))
         return state._replace(R=res.poses.R, t=res.poses.t, points=res.points)
 
@@ -89,8 +90,9 @@ class SlamHooks:
 
 
 def _static_from_cfg(cfg: PipelineConfig, scfg: SlamConfig,
-                     cap: int) -> TrackerStatic:
+                     cap: int, camera=None) -> TrackerStatic:
     return TrackerStatic(
+        cam_model=getattr(camera, "model", "pinhole"),
         cap=cap,
         max_frames=cfg.map.max_frames,
         max_points=cfg.map.max_points,
@@ -176,7 +178,7 @@ def _state_from_bootstrap(rec, features, kp_lm1, camera,
     lm1[: kp_lm1.shape[0]] = kp_lm1
     pt_last = np.full(tcfg.max_points, -(1 << 30), np.int32)
     pt_last[: rec.n_points] = 1
-    xn1 = normalize_points(jnp.asarray(xy1), st.cam)
+    xn1 = normalize_points(jnp.asarray(xy1), st.cam, tcfg.cam_model)
     return st._replace(
         R=jnp.asarray(rec.R), t=jnp.asarray(rec.t),
         pose_mask=jnp.asarray(rec.pose_mask),
@@ -258,7 +260,7 @@ def drive_slam(
     hooks = hooks or SlamHooks()
     cap = max(int(f[0].shape[0]) for f in features)
     cap = 1 << (cap - 1).bit_length()  # next power of two
-    tcfg = _static_from_cfg(cfg, scfg, cap)
+    tcfg = _static_from_cfg(cfg, scfg, cap, camera)
     thr_n = jnp.float32((cfg.ransac.thr_px / float(camera.fx)) ** 2)
     base_key = jax.random.PRNGKey(seed)
 

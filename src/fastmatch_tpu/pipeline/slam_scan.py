@@ -101,8 +101,9 @@ def _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg, extract):
             # capacity (measured ~1 s -> ~0.1 s per in-scan solve at
             # 131072-row capacity).
             prob = compact_obs_local(prob, cfg.ba.local_obs_cap)
-        res = ba_solve(prob, max_iters=cfg.ba.max_iters,
-                       pcg_iters=cfg.ba.pcg_iters,
+        res = ba_solve(prob,
+                       max_iters=cfg.ba.interval_max_iters or cfg.ba.max_iters,
+                       pcg_iters=cfg.ba.interval_pcg_iters or cfg.ba.pcg_iters,
                        huber_delta_static=cfg.ba.huber_px / cfg.ba.fx_hint)
         return state._replace(R=res.poses.R, t=res.poses.t,
                               points=res.points)
@@ -197,7 +198,7 @@ def slam_scan(
     """
     cap = max(int(f[0].shape[0]) for f in features)
     cap = 1 << (cap - 1).bit_length()
-    tcfg = _static_from_cfg(cfg, scfg, cap)
+    tcfg = _static_from_cfg(cfg, scfg, cap, camera)
     # huber_delta_static needs fx at trace time; stash it in the (frozen)
     # config so _scan_frames can close over a static float.
     cfg = _with_fx_hint(cfg, float(camera.fx))
@@ -249,7 +250,7 @@ def slam_scan_images(
     cap = int(cfg.sift.capacity)
     if cap & (cap - 1):
         raise ValueError(f"sift.capacity must be a power of two, got {cap}")
-    tcfg = _static_from_cfg(cfg, scfg, cap)
+    tcfg = _static_from_cfg(cfg, scfg, cap, camera)
     cfg = _with_fx_hint(cfg, float(camera.fx))
     thr_n = jnp.float32((cfg.ransac.thr_px / float(camera.fx)) ** 2)
     base_key = jax.random.PRNGKey(seed)

@@ -75,6 +75,7 @@ class TrackerStatic:
     loop_gap: int = 12           # min frame separation for loop candidates
     kf_tracked_thresh: int = 0   # 0 = every tracked frame is a keyframe
     kf_max_gap: int = 5
+    cam_model: str = "pinhole"   # "pinhole" (Brown-Conrady) | "fisheye"
 
 
 class TrackState(NamedTuple):
@@ -105,8 +106,10 @@ class TrackState(NamedTuple):
     prev_desc: jnp.ndarray     # (C, 128)
     prev_mask: jnp.ndarray     # (C,) bool
     prev_lm: jnp.ndarray       # (C,) i32 landmark id or -1
-    # Camera intrinsics (fx, fy, cx, cy, k1, k2)
-    cam: jnp.ndarray           # (6,) f32
+    # Packed camera intrinsics (core/camera.intrinsics_vector):
+    # [fx fy cx cy k1 k2 k3 p1 p2] (pinhole) / [fx fy cx cy k1..k4 0]
+    # (fisheye; model itself is static, TrackerStatic.cam_model)
+    cam: jnp.ndarray           # (9,) f32
 
 
 class TrackInfo(NamedTuple):
@@ -128,21 +131,16 @@ class TrackInfo(NamedTuple):
     #                            (shared PnP-inlier landmarks per frame)
 
 
-def normalize_points(xy: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
-    """Pixels -> normalized camera coords, inverting radial distortion with
-    the same 10-step fixed point as pipeline/reconstruct._normalize (which
-    it matches bit-for-bit when k1 = k2 = 0: the iteration is then the
-    identity on xd)."""
-    f = cam[:2]
-    c = cam[2:4]
-    k1, k2 = cam[4], cam[5]
-    xd = (xy - c) / f
+def normalize_points(xy: jnp.ndarray, cam: jnp.ndarray,
+                     model: str = "pinhole") -> jnp.ndarray:
+    """Pixels -> normalized camera coords over the packed (9,) intrinsics
+    vector — shared implementation in core/camera.normalize_pixels (fixed-
+    point Brown-Conrady inversion / fisheye theta-Newton), which matches
+    pipeline/reconstruct._normalize bit-for-bit (identical iteration
+    structure, and the identity on xd when all coefficients are zero)."""
+    from fastmatch_tpu.core.camera import normalize_pixels
 
-    def body(_, xn):
-        r2 = jnp.sum(xn * xn, axis=-1, keepdims=True)
-        return xd / (1.0 + k1 * r2 + k2 * r2 * r2)
-
-    return jax.lax.fori_loop(0, 10, body, xd)
+    return normalize_pixels(xy, cam, model)
 
 
 def _match(da, ma, db, mb, cfg: TrackerStatic, ratio=None, cross_check=None):
@@ -172,13 +170,17 @@ def init_state(cfg: TrackerStatic, camera) -> TrackState:
     """Fresh all-empty state on the default device."""
     F, P, O, C = cfg.max_frames, cfg.max_points, cfg.max_obs, cfg.cap
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (F, 3, 3))
-    k1 = getattr(camera, "k1", 0.0)
-    k2 = getattr(camera, "k2", 0.0)
-    cam = jnp.asarray(
-        [float(camera.fx), float(camera.fy), float(camera.cx),
-         float(camera.cy),
-         float(k1) if jnp.ndim(k1) == 0 else 0.0,
-         float(k2) if jnp.ndim(k2) == 0 else 0.0], jnp.float32)
+    if hasattr(camera, "intrinsics_vector"):
+        cam = jnp.asarray(camera.intrinsics_vector())
+    else:
+        def s(name):
+            v = getattr(camera, name, 0.0)
+            return float(v) if jnp.ndim(v) == 0 else 0.0
+
+        cam = jnp.asarray(
+            [float(camera.fx), float(camera.fy), float(camera.cx),
+             float(camera.cy), s("k1"), s("k2"), s("k3"), s("p1"),
+             s("p2")], jnp.float32)
     return TrackState(
         R=eye, t=jnp.zeros((F, 3), jnp.float32),
         pose_mask=jnp.zeros(F, bool),
@@ -232,7 +234,7 @@ def track_step(
     """
     C, P, F = cfg.cap, cfg.max_points, cfg.max_frames
     f = state.n_frames
-    xn = normalize_points(xy, state.cam)
+    xn = normalize_points(xy, state.cam, cfg.cam_model)
 
     # ---- 1. 2D-3D tracking match against the local landmark window ----
     lmask = state.pt_mask & (state.pt_last_seen >= f - window)
@@ -414,7 +416,7 @@ def loop_verify(
     current frame against the landmarks the candidate frame observes.
     Returns (PnPResult, n_match_candidates)."""
     P = cfg.max_points
-    xn = normalize_points(xy, state.cam)
+    xn = normalize_points(xy, state.cam, cfg.cam_model)
     obs_sel = state.obs_mask & (state.obs_cam == cand)
     lm_mask = jnp.zeros(P, bool).at[
         jnp.where(obs_sel, state.obs_pt, P)].set(True, mode="drop")
