@@ -136,6 +136,14 @@ class Reconstruction:
             fixed = np.zeros_like(self.pose_mask)
             fixed[:1] = True
             prob = prob._replace(fixed_cams=jnp.asarray(fixed & self.pose_mask))
+        # Bucket-compact the observation table to the live count: BA cost
+        # scales with the TABLE size, and this host-level solve otherwise
+        # pays for max_obs rows of padding (measured 1.15 s -> ~0.3 s for
+        # the two-frame bootstrap solve at 131072-row capacity).
+        from fastmatch_tpu.pipeline.tracker import compact_obs, obs_bucket
+
+        prob = compact_obs(prob, obs_bucket(self.n_obs,
+                                            prob.obs.mask.shape[0]))
         res = ba_solve(
             prob,
             max_iters=cfg.max_iters,

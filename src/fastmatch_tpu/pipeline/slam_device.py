@@ -170,26 +170,52 @@ def _bootstrap_host(features, camera, cfg, scfg, key):
     return rec, kp_lm1
 
 
+def _prefix_upload(dst, src, n, fill=0):
+    """Write ``src[:n]`` into ``dst[:B]`` (B = power-of-two bucket >= n),
+    padding the bucket's tail with ``fill`` (the empty-state value).
+
+    Why not ``jnp.asarray(src)`` at full capacity: the bootstrap map is
+    ~2% live (e.g. 300 of 16384 descriptor rows), and the capacity-sized
+    transfer ships megabytes of zeros through the ~17 MB/s relay every
+    run. ``dst`` already holds the empty-state values on device (from
+    init_state), so only a bucketed live prefix needs to move. Bucketing
+    keeps the eager ``.at[:B].set`` to one compile per power of two.
+    """
+    cap = dst.shape[0]
+    B = 512
+    while B < n:
+        B *= 2
+    B = min(B, cap)
+    if B >= cap:
+        return dst.at[:cap].set(jnp.asarray(src[:cap]))
+    buf = np.full((B,) + src.shape[1:], fill, src.dtype)
+    buf[:n] = src[:n]
+    return dst.at[:B].set(jnp.asarray(buf))
+
+
 def _state_from_bootstrap(rec, features, kp_lm1, camera,
                           tcfg: TrackerStatic) -> TrackState:
     st = init_state(tcfg, camera)
     xy1, d1, m1 = _pad_frame(*features[1], tcfg.cap)
     lm1 = np.full(tcfg.cap, -1, np.int32)
     lm1[: kp_lm1.shape[0]] = kp_lm1
-    pt_last = np.full(tcfg.max_points, -(1 << 30), np.int32)
-    pt_last[: rec.n_points] = 1
     xn1 = normalize_points(jnp.asarray(xy1), st.cam, tcfg.cam_model)
+    nP, nO = rec.n_points, rec.n_obs
+    pt_last = np.ones(nP, np.int32)  # pad/beyond stays -(1 << 30)
     return st._replace(
         R=jnp.asarray(rec.R), t=jnp.asarray(rec.t),
         pose_mask=jnp.asarray(rec.pose_mask),
-        points=jnp.asarray(rec.points),
-        pt_mask=jnp.asarray(rec.pt_mask),
-        pt_desc=jnp.asarray(rec.pt_desc),
-        pt_last_seen=jnp.asarray(pt_last),
-        obs_cam=jnp.asarray(rec.obs_cam), obs_pt=jnp.asarray(rec.obs_pt),
-        obs_uv=jnp.asarray(rec.obs_uv), obs_mask=jnp.asarray(rec.obs_mask),
-        n_frames=jnp.int32(2), n_points=jnp.int32(rec.n_points),
-        n_obs=jnp.int32(rec.n_obs), last_kf=jnp.int32(1),
+        points=_prefix_upload(st.points, rec.points, nP),
+        pt_mask=_prefix_upload(st.pt_mask, rec.pt_mask, nP),
+        pt_desc=_prefix_upload(st.pt_desc, rec.pt_desc, nP),
+        pt_last_seen=_prefix_upload(st.pt_last_seen, pt_last, nP,
+                                    fill=-(1 << 30)),
+        obs_cam=_prefix_upload(st.obs_cam, rec.obs_cam, nO),
+        obs_pt=_prefix_upload(st.obs_pt, rec.obs_pt, nO),
+        obs_uv=_prefix_upload(st.obs_uv, rec.obs_uv, nO),
+        obs_mask=_prefix_upload(st.obs_mask, rec.obs_mask, nO),
+        n_frames=jnp.int32(2), n_points=jnp.int32(nP),
+        n_obs=jnp.int32(nO), last_kf=jnp.int32(1),
         prev_f=jnp.int32(1), prev_xn=xn1, prev_desc=jnp.asarray(d1),
         prev_mask=jnp.asarray(m1), prev_lm=jnp.asarray(lm1),
     )

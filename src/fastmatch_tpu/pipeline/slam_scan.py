@@ -205,10 +205,9 @@ def slam_scan(
     thr_n = jnp.float32((cfg.ransac.thr_px / float(camera.fx)) ** 2)
     base_key = jax.random.PRNGKey(seed)
 
-    boot_key = jax.random.fold_in(base_key, 1)
-    rec0, kp_lm1 = _bootstrap_host(features, camera, cfg, scfg, boot_key)
-    state = _state_from_bootstrap(rec0, features, kp_lm1, camera, tcfg)
-
+    # Enqueue the frame-stack upload BEFORE the host bootstrap:
+    # jnp.asarray returns as soon as the transfer is enqueued, so the
+    # ~26 MB relay upload proceeds while the two-view bootstrap runs.
     n = len(features)
     pads = [_pad_frame(*features[fi], cap) for fi in range(2, n)]
     xs = (
@@ -217,6 +216,10 @@ def slam_scan(
         jnp.asarray(np.stack([p[1] for p in pads])),
         jnp.asarray(np.stack([p[2] for p in pads])),
     )
+
+    boot_key = jax.random.fold_in(base_key, 1)
+    rec0, kp_lm1 = _bootstrap_host(features, camera, cfg, scfg, boot_key)
+    state = _state_from_bootstrap(rec0, features, kp_lm1, camera, tcfg)
 
     state, infos = _scan_frames(state, xs, base_key, thr_n, tcfg, cfg, scfg)
 
