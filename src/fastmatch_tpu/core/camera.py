@@ -251,6 +251,37 @@ def normalize_pixels(xy: jnp.ndarray, vec: jnp.ndarray,
     raise ValueError(f"unknown camera model {model!r}")
 
 
+def project_pixels(xn: jnp.ndarray, vec: jnp.ndarray,
+                   model: str = "pinhole") -> jnp.ndarray:
+    """Normalized coords -> pixels over a packed (9,) intrinsics vector:
+    the exact forward inverse of ``normalize_pixels`` (distort, then apply
+    focal/center). Differentiable in ``vec`` — this is the projection the
+    self-calibration refinement (ba/calibrate.py) linearizes.
+
+    ``xn``: (..., 2) undistorted normalized image coordinates (x/z, y/z).
+    """
+    f = vec[:2]
+    c = vec[2:4]
+    if model == "pinhole":
+        k1, k2, k3, p1, p2 = vec[4], vec[5], vec[6], vec[7], vec[8]
+        x, y = xn[..., 0:1], xn[..., 1:2]
+        r2 = x * x + y * y
+        d = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        xy2 = 2.0 * x * y
+        xd = x * d + p1 * xy2 + p2 * (r2 + 2.0 * x * x)
+        yd = y * d + p1 * (r2 + 2.0 * y * y) + p2 * xy2
+        return jnp.concatenate([xd, yd], axis=-1) * f + c
+    if model == "fisheye":
+        k1, k2, k3, k4 = vec[4], vec[5], vec[6], vec[7]
+        r = jnp.linalg.norm(xn, axis=-1, keepdims=True)
+        th = jnp.arctan(r)
+        t2 = th * th
+        thd = th * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+        scale = jnp.where(r > 1e-9, thd / jnp.maximum(r, 1e-9), 1.0)
+        return xn * scale * f + c
+    raise ValueError(f"unknown camera model {model!r}")
+
+
 def normalize_np(uv_px: np.ndarray, cam) -> np.ndarray:
     """Host-side (numpy) pixels -> normalized coords for any camera model —
     the mirror of ``normalize_pixels`` used by the host-driven pipeline
