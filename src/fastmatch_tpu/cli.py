@@ -199,6 +199,22 @@ def _add_camera_args(sp):
                          "fisheye k1[,k2[,k3[,k4]]])")
 
 
+def _run_selfcal(rec, cam, cfg, rounds: int, metrics):
+    """--selfcal N: in-place intrinsics refinement post-pass; returns the
+    refined camera + a JSON-able summary."""
+    from fastmatch_tpu.ba.calibrate import self_calibrate
+
+    cam2, hist = self_calibrate(rec, cam, cfg, rounds=rounds,
+                                metrics=metrics)
+    vec = cam2.intrinsics_vector()
+    return cam2, {
+        "fx": round(float(vec[0]), 3), "fy": round(float(vec[1]), 3),
+        "cx": round(float(vec[2]), 3), "cy": round(float(vec[3]), 3),
+        "dist": [round(float(v), 6) for v in vec[4:]],
+        "mean_px2": round(hist[-1][0], 6),
+    }
+
+
 def cmd_reconstruct(args):
     from fastmatch_tpu.pipeline.reconstruct import reconstruct
 
@@ -213,6 +229,9 @@ def cmd_reconstruct(args):
 
     with profile_trace(args.profile_dir):
         rec = reconstruct(feats, cam, cfg, metrics=metrics)
+    selfcal = None
+    if args.selfcal:
+        cam, selfcal = _run_selfcal(rec, cam, cfg, args.selfcal, metrics)
     if metrics:
         metrics.close()
     centers = rec.camera_centers()
@@ -232,6 +251,7 @@ def cmd_reconstruct(args):
                 "n_points": int(rec.pt_mask.sum()),
                 "n_obs": rec.n_obs,
                 "out": args.out,
+                **({"selfcal": selfcal} if selfcal else {}),
             }
         )
     )
@@ -295,9 +315,12 @@ def cmd_slam(args):
         out = slam_scan(feats, cam, cfg, scfg, metrics=metrics)
     else:
         out = slam(feats, cam, cfg, scfg, metrics=metrics)
+    rec = out.rec
+    selfcal = None
+    if args.selfcal:
+        cam, selfcal = _run_selfcal(rec, cam, cfg, args.selfcal, metrics)
     if metrics:
         metrics.close()
-    rec = out.rec
     if args.out:
         np.savez(
             args.out, centers=rec.camera_centers(), R=rec.R[: rec.n_frames],
@@ -321,6 +344,7 @@ def cmd_slam(args):
                 "loop_closures": len(out.loop_edges),
                 "pgo_runs": out.pgo_runs,
                 "out": args.out,
+                **({"selfcal": selfcal} if selfcal else {}),
             }
         )
     )
@@ -451,6 +475,11 @@ def main(argv=None):
     sp.add_argument("--metrics", help="write JSONL metrics here")
     sp.add_argument("--profile-dir",
                     help="capture a jax.profiler trace here (tensorboard)")
+    sp.add_argument("--selfcal", type=int, default=0, metavar="N",
+                    help="self-calibration post-pass: N rounds of "
+                    "intrinsics refinement alternated with global BA "
+                    "(ba/calibrate.py); refined intrinsics reported in "
+                    "the JSON output")
     sp.set_defaults(fn=cmd_reconstruct)
 
     sp = sub.add_parser("slam")
@@ -481,6 +510,9 @@ def main(argv=None):
     sp.add_argument("--trajectory", help="write TUM-format trajectory here")
     sp.add_argument("--checkpoint")
     sp.add_argument("--metrics", help="write JSONL metrics here")
+    sp.add_argument("--selfcal", type=int, default=0, metavar="N",
+                    help="self-calibration post-pass: N rounds of "
+                    "intrinsics refinement alternated with global BA")
     sp.set_defaults(fn=cmd_slam)
 
     sp = sub.add_parser("locate")

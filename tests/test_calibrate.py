@@ -134,6 +134,57 @@ def test_calibrate_map_alternation_improves():
     assert hist[-1][0] < hist[0][0] * 1.01  # pixel cost non-increasing
 
 
+@pytest.mark.slow
+def test_cli_reconstruct_selfcal(tmp_path, capsys):
+    """CLI --selfcal wiring: features rendered through an UNMODELED lens
+    (k1 = -0.10), reconstruct assumes no distortion, the post-pass must
+    report refined intrinsics with k1 pulled in the correct direction.
+
+    Magnitude is deliberately not pinned: on a smooth-orbit scene each
+    landmark keeps a similar image radius across frames, so BA absorbs
+    most of the distortion into structure (observability limit — the
+    strong-recovery guarantees live in the fixed-structure tests above).
+    """
+    import json
+    from test_pipeline import synthetic_features
+    from fastmatch_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    scene = SyntheticScene(rng, n_points=250, n_frames=12, span=1.0)
+    K1 = -0.10
+    vec_true = np.array([500.0, 500.0, 320.0, 240.0, K1, 0, 0, 0, 0],
+                        np.float32)
+    cam3 = np.einsum("fij,pj->fpi", scene.R, scene.points) \
+        + scene.t[:, None, :]
+    xn = cam3[..., :2] / np.clip(cam3[..., 2:3], 1e-9, None)
+    scene.pixels = np.asarray(project_pixels(
+        jnp.asarray(xn, jnp.float32), jnp.asarray(vec_true), "pinhole"))
+    z = cam3[..., 2]
+    uv = scene.pixels
+    scene.visible = ((z > 0.1) & (uv[..., 0] >= 0) & (uv[..., 0] < 640)
+                     & (uv[..., 1] >= 0) & (uv[..., 1] < 480))
+    feats = synthetic_features(rng, scene)
+    npz = {"n_frames": len(feats), "image_size": np.array([640, 480])}
+    for i, (xy, d, m) in enumerate(feats):
+        npz[f"xy_{i}"], npz[f"desc_{i}"], npz[f"mask_{i}"] = xy, d, m
+    inp = tmp_path / "feats.npz"
+    np.savez(inp, **npz)
+
+    main([
+        "--set", "ba.interval=4", "--set", "ba.max_iters=8",
+        "--set", "ba.pcg_iters=30",
+        "--set", "map.max_frames=16", "--set", "map.max_points=4096",
+        "--set", "map.max_obs=32768",
+        "reconstruct", str(inp), "--focal", "500",
+        "--selfcal", "3",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sc = rep["selfcal"]
+    assert sc["dist"][0] < -0.005, rep     # k1 moved toward -0.10
+    assert abs(sc["fx"] - 500.0) < 15.0, rep
+    assert sc["mean_px2"] < 1.0, rep
+
+
 def test_self_calibrate_reconstruction():
     """Product surface: a Reconstruction built under WRONG intrinsics,
     post-passed with self_calibrate — focal recovered, map refit."""
