@@ -215,6 +215,29 @@ def _run_selfcal(rec, cam, cfg, rounds: int, metrics):
     }
 
 
+def _run_exports(args, rec, cam):
+    """--export-ply / --export-colmap on reconstruct and slam."""
+    if getattr(args, "export_ply", None):
+        from fastmatch_tpu.utils.export import save_ply
+
+        save_ply(args.export_ply, rec.points[rec.pt_mask])
+    if getattr(args, "export_colmap", None):
+        from fastmatch_tpu.utils.export import save_colmap_text
+
+        # The CLI always centers the principal point (w/2, h/2).
+        size = (int(round(2 * float(cam.cx))),
+                int(round(2 * float(cam.cy))))
+        save_colmap_text(args.export_colmap, rec, cam, image_size=size)
+
+
+def _add_export_args(sp):
+    sp.add_argument("--export-ply",
+                    help="write the sparse point cloud as ASCII PLY")
+    sp.add_argument("--export-colmap", metavar="DIR",
+                    help="write a COLMAP sparse text model "
+                         "(cameras/images/points3D.txt) into DIR")
+
+
 def cmd_reconstruct(args):
     from fastmatch_tpu.pipeline.reconstruct import reconstruct
 
@@ -244,6 +267,7 @@ def cmd_reconstruct(args):
         from fastmatch_tpu.pipeline.checkpoint import save_map
 
         save_map(rec, args.checkpoint)
+    _run_exports(args, rec, cam)
     print(
         json.dumps(
             {
@@ -336,6 +360,7 @@ def cmd_slam(args):
         from fastmatch_tpu.pipeline.checkpoint import save_map
 
         save_map(rec, args.checkpoint)
+    _run_exports(args, rec, cam)
     print(
         json.dumps(
             {
@@ -480,6 +505,7 @@ def main(argv=None):
                     "intrinsics refinement alternated with global BA "
                     "(ba/calibrate.py); refined intrinsics reported in "
                     "the JSON output")
+    _add_export_args(sp)
     sp.set_defaults(fn=cmd_reconstruct)
 
     sp = sub.add_parser("slam")
@@ -513,6 +539,7 @@ def main(argv=None):
     sp.add_argument("--selfcal", type=int, default=0, metavar="N",
                     help="self-calibration post-pass: N rounds of "
                     "intrinsics refinement alternated with global BA")
+    _add_export_args(sp)
     sp.set_defaults(fn=cmd_slam)
 
     sp = sub.add_parser("locate")
