@@ -455,6 +455,29 @@ def cmd_locate(args):
     return 0 if n_ok else 1
 
 
+def cmd_serve(args):
+    """Serve localization queries over a prebuilt map (pipeline/serve.py):
+    map + IVF index built once, query path compiled before the socket
+    opens, then stdlib HTTP until interrupted."""
+    from fastmatch_tpu.core.camera import Pinhole
+    from fastmatch_tpu.pipeline.serve import serve
+
+    w, h = args.width, args.height
+    K = np.array([[args.focal, 0, w / 2], [0, args.focal, h / 2],
+                  [0, 0, 1.0]], np.float32)
+    dist = tuple(float(x) for x in args.dist.split(",")) if args.dist else ()
+    if args.camera_model == "fisheye":
+        from fastmatch_tpu.core.camera import Fisheye
+
+        cam = Fisheye.from_K(K, dist)
+    else:
+        cam = Pinhole.from_K(K, dist)
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}",
+                      "map": args.map}), flush=True)
+    serve(args.map, cam, host=args.host, port=args.port,
+          ann_threshold=args.ann_threshold, thr_px=args.thr_px)
+
+
 def cmd_bench(args):
     import runpy
     import os
@@ -554,6 +577,19 @@ def main(argv=None):
                     help="bank rows above which the IVF index is used "
                     "(default: measured ~100k crossover; 0 forces IVF)")
     sp.set_defaults(fn=cmd_locate)
+
+    sp = sub.add_parser("serve")
+    sp.add_argument("map", help="map checkpoint dir (slam/reconstruct "
+                    "--checkpoint output)")
+    _add_camera_args(sp)
+    sp.add_argument("--width", type=int, default=640)
+    sp.add_argument("--height", type=int, default=480)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--thr-px", type=float, default=2.0)
+    sp.add_argument("--ann-threshold", type=int, default=None,
+                    help="bank rows above which the IVF index is used")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("evaluate")
     sp.add_argument(
