@@ -228,6 +228,10 @@ def _run_exports(args, rec, cam):
         size = (int(round(2 * float(cam.cx))),
                 int(round(2 * float(cam.cy))))
         save_colmap_text(args.export_colmap, rec, cam, image_size=size)
+    if getattr(args, "export_kitti", None):
+        from fastmatch_tpu.utils.export import save_kitti_trajectory
+
+        save_kitti_trajectory(args.export_kitti, rec)
 
 
 def _add_export_args(sp):
@@ -236,6 +240,9 @@ def _add_export_args(sp):
     sp.add_argument("--export-colmap", metavar="DIR",
                     help="write a COLMAP sparse text model "
                          "(cameras/images/points3D.txt) into DIR")
+    sp.add_argument("--export-kitti",
+                    help="write the trajectory in KITTI odometry format "
+                         "(3x4 cam-to-world per line)")
 
 
 def cmd_reconstruct(args):

@@ -267,12 +267,15 @@ def slam_scan_images(
         xy, d, m = frame_features(fi)
         feats01.append((np.asarray(xy), np.asarray(d), np.asarray(m)))
 
+    # Image-stack upload enqueued BEFORE the host bootstrap (same overlap
+    # as slam_scan — jnp.asarray returns once the transfer is queued).
+    xs = (jnp.arange(2, n, dtype=jnp.int32),
+          jnp.asarray(np.stack(images[2:])))
+
     boot_key = jax.random.fold_in(base_key, 1)
     rec0, kp_lm1 = _bootstrap_host(feats01, camera, cfg, scfg, boot_key)
     state = _state_from_bootstrap(rec0, feats01, kp_lm1, camera, tcfg)
 
-    xs = (jnp.arange(2, n, dtype=jnp.int32),
-          jnp.asarray(np.stack(images[2:])))
     state, infos = _scan_images(state, xs, base_key, thr_n, tcfg, cfg, scfg)
     return _postprocess(state, infos, n, frame_features, base_key, thr_n,
                         tcfg, cfg, scfg, camera, metrics, close_loops)

@@ -71,6 +71,25 @@ def load_ply(path: str):
     return vals[:, :3], cols
 
 
+def save_kitti_trajectory(path: str, rec) -> None:
+    """KITTI odometry format: one row per live frame, the 3x4
+    camera-to-world matrix [R_wc | C] flattened row-major — the format the
+    KITTI devkit and most odometry-evaluation tools ingest. (Our poses are
+    world->camera; inverted here.)"""
+    with open(path, "w") as f:
+        for fi in np.nonzero(rec.pose_mask)[0]:
+            Rwc = rec.R[fi].T
+            C = -Rwc @ rec.t[fi]
+            M = np.concatenate([Rwc, C[:, None]], axis=1)
+            f.write(" ".join(f"{v:.9e}" for v in M.reshape(-1)) + "\n")
+
+
+def load_kitti_trajectory(path: str):
+    """Read back a KITTI trajectory: returns (R_wc (N,3,3), centers (N,3))."""
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    return rows[:, :, :3], rows[:, :, 3]
+
+
 def _rot_to_qvec(R: np.ndarray) -> np.ndarray:
     """(3, 3) rotation -> COLMAP (w, x, y, z) quaternion (world->camera,
     same convention as our poses). Shepperd's branch-stable method."""

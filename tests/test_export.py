@@ -127,6 +127,22 @@ def test_colmap_model(tmp_path):
             assert int(obs_of_img[img_id][slot, 2]) == pid
 
 
+def test_kitti_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    rec, cam, scene, _ = _consistent_rec(rng)
+    path = str(tmp_path / "traj.kitti")
+    from fastmatch_tpu.utils.export import (load_kitti_trajectory,
+                                            save_kitti_trajectory)
+
+    save_kitti_trajectory(path, rec)
+    Rwc, C = load_kitti_trajectory(path)
+    assert Rwc.shape[0] == rec.n_frames
+    for i, fi in enumerate(np.nonzero(rec.pose_mask)[0]):
+        np.testing.assert_allclose(Rwc[i], rec.R[fi].T, atol=1e-7)
+        np.testing.assert_allclose(C[i], -rec.R[fi].T @ rec.t[fi],
+                                   atol=1e-6)
+
+
 def test_cli_export(tmp_path, capsys):
     """CLI wiring: reconstruct --export-ply/--export-colmap write files."""
     import json
