@@ -51,8 +51,13 @@ class BAConfig:
     # the final global BA, so it needs far fewer iterations than a cold
     # solve. 0 = inherit max_iters / pcg_iters. Both engines (scan and
     # per-frame driver) read the same knobs — engine parity is preserved.
-    interval_max_iters: int = 0
-    interval_pcg_iters: int = 0
+    # Defaults measured on the 100-frame chip bench: 6/16 is +25% engine
+    # throughput at unchanged ATE (0.00246 vs 0.00248 with full budgets;
+    # 4/12 is +47% at 0.00253 — left to users who want it). The interval
+    # CADENCE is not a knob to relax: interval=10 at full budgets was
+    # 26x worse ATE.
+    interval_max_iters: int = 6
+    interval_pcg_iters: int = 16
 
 
 @dataclasses.dataclass(frozen=True)
