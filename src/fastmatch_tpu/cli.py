@@ -344,6 +344,13 @@ def cmd_slam(args):
         from fastmatch_tpu.pipeline.slam_scan import slam_scan
 
         out = slam_scan(feats, cam, cfg, scfg, metrics=metrics)
+    elif engine == "chunked":
+        # Near-online: K-frame compiled scans with online loop closure
+        # between chunks (correction latency < K frames).
+        from fastmatch_tpu.pipeline.slam_scan import slam_chunked
+
+        out = slam_chunked(feats, cam, cfg, scfg, chunk=args.chunk,
+                           metrics=metrics)
     else:
         out = slam(feats, cam, cfg, scfg, metrics=metrics)
     rec = out.rec
@@ -544,10 +551,17 @@ def main(argv=None):
     sp.add_argument("--window", type=int, default=8)
     sp.add_argument("--loop-gap", type=int, default=12)
     sp.add_argument("--loop-min-votes", type=int, default=25)
-    sp.add_argument("--engine", choices=("auto", "device", "host", "scan"),
+    sp.add_argument("--engine",
+                    choices=("auto", "device", "host", "scan", "chunked"),
                     default="auto",
                     help="device = one fused jitted step/frame (default on "
-                    "TPU); host = round-1 orchestrated loop")
+                    "TPU); host = round-1 orchestrated loop; scan = whole "
+                    "sequence as ONE compiled scan (offline); chunked = "
+                    "K-frame scans with online loop closure between "
+                    "chunks (near-online at scan speed)")
+    sp.add_argument("--chunk", type=int, default=16,
+                    help="with --engine chunked: frames per compiled scan "
+                    "(loop-closure latency bound)")
     sp.add_argument("--mesh",
                     help="multi-chip config-5 pipeline, e.g. 'bank=4' or "
                     "'data=1,bank=8': ring-sharded retrieval + distributed "

@@ -83,10 +83,13 @@ def _final_ba(state, cfg):
     return state._replace(R=res.poses.R, t=res.poses.t, points=res.points)
 
 
-def _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg, extract):
+def _run_scan(state, xs, base_key, thr_n, window0, tcfg, cfg, scfg,
+              extract):
     """The tracking loop as one XLA program; ``extract(x)`` maps a scan
     element to (fi, xy, desc, mask) — identity for pre-extracted features,
-    detect_and_describe for raw images."""
+    detect_and_describe for raw images. ``window0``: the carry's initial
+    window (traced) — scfg.window normally; FULL_WINDOW when a previous
+    chunk ended in a tracking failure (slam_chunked)."""
     interval = int(cfg.ba.interval)
 
     def run_ba(state, fid, window, covis):
@@ -127,20 +130,21 @@ def _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg, extract):
                            jnp.int32(FULL_WINDOW))
         return (state, window), info
 
-    (state, _), infos = jax.lax.scan(
-        body, (state, jnp.int32(scfg.window)), xs)
+    (state, window), infos = jax.lax.scan(
+        body, (state, jnp.asarray(window0, jnp.int32)), xs)
     # The final global BA runs OUTSIDE this jit (_postprocess): at host
     # level the observation table can be bucket-compacted to the live
     # count (compact_obs — measured 6.5x per solve), which a traced shape
     # inside the scan cannot.
-    return state, infos
+    return state, window, infos
 
 
 @partial(jax.jit, static_argnames=("tcfg", "cfg", "scfg"),
          donate_argnums=(0,))
-def _scan_frames(state, xs, base_key, thr_n, tcfg: TrackerStatic,
-                 cfg: PipelineConfig, scfg: SlamConfig):
-    return _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg,
+def _scan_frames(state, xs, base_key, thr_n, window0,
+                 tcfg: TrackerStatic, cfg: PipelineConfig,
+                 scfg: SlamConfig):
+    return _run_scan(state, xs, base_key, thr_n, window0, tcfg, cfg, scfg,
                      extract=lambda x: x)
 
 
@@ -156,8 +160,9 @@ def _detect(im, cfg):
 
 @partial(jax.jit, static_argnames=("tcfg", "cfg", "scfg"),
          donate_argnums=(0,))
-def _scan_images(state, xs, base_key, thr_n, tcfg: TrackerStatic,
-                 cfg: PipelineConfig, scfg: SlamConfig):
+def _scan_images(state, xs, base_key, thr_n, window0,
+                 tcfg: TrackerStatic, cfg: PipelineConfig,
+                 scfg: SlamConfig):
     from fastmatch_tpu.features.sift import detect_and_describe
 
     def extract(x):
@@ -165,7 +170,7 @@ def _scan_images(state, xs, base_key, thr_n, tcfg: TrackerStatic,
         kp, desc = detect_and_describe(img, cfg.sift)
         return fi, kp.xy, desc.data, desc.mask
 
-    return _run_scan(state, xs, base_key, thr_n, tcfg, cfg, scfg,
+    return _run_scan(state, xs, base_key, thr_n, window0, tcfg, cfg, scfg,
                      extract=extract)
 
 
@@ -221,7 +226,8 @@ def slam_scan(
     rec0, kp_lm1 = _bootstrap_host(features, camera, cfg, scfg, boot_key)
     state = _state_from_bootstrap(rec0, features, kp_lm1, camera, tcfg)
 
-    state, infos = _scan_frames(state, xs, base_key, thr_n, tcfg, cfg, scfg)
+    state, _, infos = _scan_frames(state, xs, base_key, thr_n,
+                                   jnp.int32(scfg.window), tcfg, cfg, scfg)
 
     def frame_features(fi):
         return tuple(jnp.asarray(v) for v in _pad_frame(*features[fi], cap))
@@ -276,7 +282,8 @@ def slam_scan_images(
     rec0, kp_lm1 = _bootstrap_host(feats01, camera, cfg, scfg, boot_key)
     state = _state_from_bootstrap(rec0, feats01, kp_lm1, camera, tcfg)
 
-    state, infos = _scan_images(state, xs, base_key, thr_n, tcfg, cfg, scfg)
+    state, _, infos = _scan_images(state, xs, base_key, thr_n,
+                                   jnp.int32(scfg.window), tcfg, cfg, scfg)
     return _postprocess(state, infos, n, frame_features, base_key, thr_n,
                         tcfg, cfg, scfg, camera, metrics, close_loops)
 
@@ -367,3 +374,149 @@ def _with_fx_hint(cfg: PipelineConfig, fx: float) -> PipelineConfig:
 
     return dataclasses.replace(
         cfg, ba=dataclasses.replace(cfg.ba, fx_hint=fx))
+
+
+def slam_chunked(
+    features: list,
+    camera: Pinhole,
+    cfg: PipelineConfig = PipelineConfig(),
+    scfg: SlamConfig = SlamConfig(),
+    chunk: int = 16,
+    seed: int = 0,
+    metrics=None,
+    reloc_max_failures: int = 3,
+) -> SlamResult:
+    """Near-online SLAM at scan-mode speed: the sequence runs as K-frame
+    compiled scans with ONLINE loop closure between chunks.
+
+    The spectrum this fills: `slam_device` reacts to loop closures on the
+    frame they occur but pays the per-frame relay dispatch+readback tax
+    (~145 ms/frame on this container); `slam_scan` pays the tax once per
+    SEQUENCE but only closes loops post-hoc. Chunked mode pays it once per
+    ``chunk`` frames and bounds loop-closure correction latency to < K
+    frames: each chunk is the SAME compiled `_scan_frames` program (same
+    per-frame fold_in keys, same interval-BA cadence, the relocalization
+    window carried across chunk boundaries), so with no closures the
+    trajectory is BIT-IDENTICAL to `slam_scan` (tested). After each chunk
+    the recorded per-frame retrieval votes drive the same
+    verify -> pose-graph -> global-BA episode `drive_slam` runs, with the
+    same loop_gap cooldown.
+
+    Failure policy is scan-mode's (a failed frame sets the NEXT frame's
+    window to FULL_WINDOW); the driver raises after ``reloc_max_failures``
+    consecutive failed frames, like drive_slam.
+    """
+    from fastmatch_tpu.core.lie import SE3
+    from fastmatch_tpu.pipeline.slam import _np
+    from fastmatch_tpu.pipeline.slam_device import _run_pgo
+    from fastmatch_tpu.pipeline.tracker import loop_verify
+
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    cap = max(int(f[0].shape[0]) for f in features)
+    cap = 1 << (cap - 1).bit_length()
+    tcfg = _static_from_cfg(cfg, scfg, cap, camera)
+    cfg = _with_fx_hint(cfg, float(camera.fx))
+    thr_n = jnp.float32((cfg.ransac.thr_px / float(camera.fx)) ** 2)
+    base_key = jax.random.PRNGKey(seed)
+
+    n = len(features)
+    pads = [_pad_frame(*features[fi], cap) for fi in range(2, n)]
+    xs = (
+        jnp.arange(2, n, dtype=jnp.int32),
+        jnp.asarray(np.stack([p[0] for p in pads])),
+        jnp.asarray(np.stack([p[1] for p in pads])),
+        jnp.asarray(np.stack([p[2] for p in pads])),
+    )
+
+    boot_key = jax.random.fold_in(base_key, 1)
+    rec0, kp_lm1 = _bootstrap_host(features, camera, cfg, scfg, boot_key)
+    state = _state_from_bootstrap(rec0, features, kp_lm1, camera, tcfg)
+
+    out = SlamResult(rec=rec0)
+    Z0 = SE3(jnp.asarray(rec0.R[1]), jnp.asarray(rec0.t[1]))
+    out.odo_edges.append((1, 0, _np(Z0.R), _np(Z0.t)))
+    out.frame_seq = [0, 1]
+    next_fid = 2
+    prev_fid = 1
+    prev_pose = (rec0.R[1].copy(), rec0.t[1].copy())
+    last_closure = -(1 << 30)
+    consec_fail = 0
+    window = jnp.int32(scfg.window)
+
+    for c0 in range(2, n, chunk):
+        c1 = min(c0 + chunk, n)
+        xs_c = tuple(a[c0 - 2 : c1 - 2] for a in xs)
+        state, window, infos = _scan_frames(state, xs_c, base_key, thr_n,
+                                            window, tcfg, cfg, scfg)
+        infos = jax.device_get(infos)
+        fid_of = {}
+        for k, fi in enumerate(range(c0, c1)):
+            if bool(infos.overflow[k]):
+                raise RuntimeError(f"map capacity exceeded at frame {fi}")
+            if not bool(infos.ok[k]):
+                consec_fail += 1
+                if metrics:
+                    metrics.log("track", frame=fi, ok=False,
+                                n_inliers=int(infos.n_inliers[k]))
+                if consec_fail > reloc_max_failures:
+                    raise RuntimeError(
+                        f"SLAM tracking lost at frame {fi} "
+                        f"({consec_fail} consecutive failures)")
+                continue
+            consec_fail = 0
+            fid = next_fid
+            next_fid += 1
+            fid_of[k] = fid
+            out.frame_seq.append(fi)
+            Rf = np.asarray(infos.R[k])
+            tf = np.asarray(infos.t[k])
+            ZR = Rf @ prev_pose[0].T
+            Zt = tf - ZR @ prev_pose[1]
+            out.odo_edges.append((fid, prev_fid, ZR, Zt))
+            prev_pose = (Rf, tf)
+            prev_fid = fid
+            if metrics:
+                metrics.log("track", frame=fi, frame_id=fid, ok=True,
+                            n_inliers=int(infos.n_inliers[k]),
+                            n_points=int(infos.n_points[k]))
+
+        # ---- loop-closure episode (same policy as drive_slam, delayed
+        # by at most chunk-1 frames; votes were recorded in-step against
+        # the map as of each frame) ----
+        closed = False
+        for k, fi in enumerate(range(c0, c1)):
+            if k not in fid_of:
+                continue
+            fid = fid_of[k]
+            votes = np.asarray(infos.votes[k])
+            cands = np.asarray(infos.cands[k])
+            if (votes[0] < scfg.loop_min_votes
+                    or fid - last_closure < scfg.loop_gap):
+                continue
+            cand = int(cands[0])
+            fkey = jax.random.fold_in(base_key, fi)
+            pl, _ncand = loop_verify(
+                state, xs[1][fi - 2], xs[2][fi - 2], xs[3][fi - 2],
+                jnp.int32(cand), jax.random.fold_in(fkey, 2), thr_n, tcfg)
+            if not bool(pl.ok):
+                continue
+            Tc = SE3(state.R[cand], state.t[cand])
+            Zl = pl.pose.compose(Tc.inverse())
+            out.loop_edges.append((fid, cand, _np(Zl.R), _np(Zl.t)))
+            last_closure = fid
+            closed = True
+            if metrics:
+                metrics.log("loop_closure", frame=fi, candidate=cand,
+                            inliers=int(pl.n_inliers), chunked=True)
+        if closed:
+            state = _run_pgo(state, out.odo_edges, out.loop_edges, scfg)
+            out.pgo_runs += 1
+            state = _final_ba(state, cfg)  # full-window, obs-compacted
+            # Re-anchor odometry on the corrected pose so the next
+            # chunk's first edge doesn't carry the correction jump.
+            prev_pose = (_np(state.R[prev_fid]), _np(state.t[prev_fid]))
+
+    state = _final_ba(state, cfg)
+    out.rec = _rec_from_state(state, cfg, camera)
+    return out

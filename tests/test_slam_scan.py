@@ -113,6 +113,72 @@ class TestSlamScan:
         ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
         assert ate < 0.35, f"image-scan ATE {ate:.3f}"
 
+    def test_chunked_matches_scan_bitwise(self, setup):
+        """Chunked mode = the same compiled scan per K-frame slice with
+        the window carried across boundaries; with closures disabled the
+        trajectory must be bit-identical to one whole-sequence scan."""
+        from fastmatch_tpu.pipeline.slam_scan import slam_chunked
+
+        scene, feats, cfg, scfg = setup
+        cam = Pinhole.from_K(scene.K)
+        scn = slam_scan(feats, cam, cfg, scfg)
+        chk = slam_chunked(feats, cam, cfg, scfg, chunk=7)
+        assert chk.frame_seq == scn.frame_seq
+        np.testing.assert_array_equal(chk.rec.R, scn.rec.R)
+        np.testing.assert_array_equal(chk.rec.t, scn.rec.t)
+        np.testing.assert_array_equal(chk.rec.points, scn.rec.points)
+        assert chk.rec.n_obs == scn.rec.n_obs
+
+    def test_chunked_closes_loops(self):
+        """On a drifting circle with revisits, the chunked driver must
+        verify closures between chunks (latency < chunk) and land the
+        corrected trajectory near the online driver's quality."""
+        from fastmatch_tpu.pipeline.slam_scan import slam_chunked
+
+        rng = np.random.default_rng(1)
+        scene = CircleScene(rng, n_points=300, n_frames=26)
+        feats = features_of(rng, scene)
+        cfg = PipelineConfig(
+            ba=BAConfig(interval=5, max_iters=8, pcg_iters=30),
+            map=MapConfig(max_frames=32, max_points=4096, max_obs=32768),
+        )
+        scfg = SlamConfig(window=6, loop_gap=10, loop_min_votes=20)
+        cam = Pinhole.from_K(scene.K)
+        out = slam_chunked(feats, cam, cfg, scfg, chunk=6)
+        assert len(out.loop_edges) >= 1
+        assert out.pgo_runs >= 1
+        gt_all = -np.einsum("fji,fj->fi", scene.R, scene.t)
+        gt = gt_all[np.asarray(out.frame_seq)]
+        est = out.rec.camera_centers()
+        ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+        assert ate < 0.3, f"chunked ATE {ate:.3f}"
+
+    def test_chunked_dropout_across_boundary(self, setup):
+        """Failure in the last frame of a chunk: the FULL_WINDOW carry
+        must cross the chunk boundary so the next chunk's first frame
+        relocalizes."""
+        from fastmatch_tpu.pipeline.slam_scan import slam_chunked
+
+        scene, feats, cfg, scfg = setup
+        feats = [f for f in feats]
+        # chunk=5 starting at frame 2 -> chunks [2..6], [7..11], [12..16],
+        # [17..19]; wreck 10 and 11 (end of the second chunk).
+        for k in (10, 11):
+            xy, d, m = feats[k]
+            m2 = m.copy()
+            live = np.where(m2)[0]
+            m2[live[5:]] = False
+            feats[k] = (xy, d, m2)
+        cam = Pinhole.from_K(scene.K)
+        out = slam_chunked(feats, cam, cfg, scfg, chunk=5)
+        assert 10 not in out.frame_seq and 11 not in out.frame_seq
+        assert out.frame_seq[-1] == 19
+        gt_all = -np.einsum("fji,fj->fi", scene.R, scene.t)
+        gt = gt_all[np.asarray(out.frame_seq)]
+        est = out.rec.camera_centers()
+        ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+        assert ate < 0.3, f"ATE {ate:.3f} after boundary relocalization"
+
     def test_dropout_relocalizes_next_frame(self, setup):
         """Wreck two frames: the scan skips them (state unchanged inside
         the step) and the NEXT frame tracks with an unbounded window."""
