@@ -45,6 +45,9 @@ class _LMState(NamedTuple):
     poses_R: jnp.ndarray
     poses_t: jnp.ndarray
     points: jnp.ndarray
+    sys: object                 # BlockSystem/GroupedSystem at the carried
+    #                             point (carried so each iteration runs ONE
+    #                             assembly, not two — see body)
     lam: jnp.ndarray
     cost: jnp.ndarray
     it: jnp.ndarray
@@ -89,8 +92,14 @@ def ba_solve_raw(
     sys0, cost0 = cost_at(problem.poses.R, problem.poses.t, problem.points)
 
     def body(state: _LMState) -> _LMState:
-        poses = SE3(state.poses_R, state.poses_t)
-        sys, cost = cost_at(state.poses_R, state.poses_t, state.points)
+        # ONE assembly per iteration: the linearization at the carried
+        # point lives in state.sys (evaluated when that point was the
+        # TRIAL point of a previous iteration, or at init). Re-assembling
+        # here — as the round-1/2 loop did — produced bit-identical values
+        # (assemble is deterministic on the same point) at ~2x the
+        # assembly cost per iteration; measured 14.1 -> 17+ LM iters/s at
+        # the 131k-obs config-4 block.
+        sys, cost = state.sys, state.cost
         # One damped point-block inverse per LM iteration, shared by the
         # PCG matvecs and the back-substitution (same sys, same lam).
         # (The fully scatter-free PCG variant — pcg_solve_grouped — trades
@@ -110,17 +119,19 @@ def ba_solve_raw(
             dx_c, state.poses_R, state.poses_t
         )
         new_points = state.points + dx_p
-        _, new_cost = cost_at(new_poses.R, new_poses.t, new_points)
+        new_sys, new_cost = cost_at(new_poses.R, new_poses.t, new_points)
         accept = new_cost < cost
         R = jnp.where(accept, new_poses.R, state.poses_R)
         t = jnp.where(accept, new_poses.t, state.poses_t)
         X = jnp.where(accept, new_points, state.points)
+        sys = jax.tree.map(lambda a, b: jnp.where(accept, a, b),
+                           new_sys, sys)
         lam = jnp.where(accept, state.lam * 0.5, state.lam * 4.0)
         lam = jnp.clip(lam, 1e-9, 1e6)
         rel = jnp.abs(cost - new_cost) / jnp.maximum(cost, 1e-12)
         done = accept & (rel < rtol)
         return _LMState(
-            R, t, X, lam,
+            R, t, X, sys, lam,
             jnp.where(accept, new_cost, cost),
             state.it + 1,
             state.accepted + accept.astype(jnp.int32),
@@ -134,6 +145,7 @@ def ba_solve_raw(
         problem.poses.R,
         problem.poses.t,
         problem.points,
+        sys0,
         jnp.float32(lam0),
         cost0,
         jnp.int32(0),
