@@ -1,3 +1,9 @@
-from fastmatch_tpu.posegraph.pgo import PoseGraph, pgo_solve
+from fastmatch_tpu.posegraph.pgo import (
+    PoseGraph,
+    pgo_solve,
+    with_pose_priors,
+    with_position_priors,
+)
 
-__all__ = ["PoseGraph", "pgo_solve"]
+__all__ = ["PoseGraph", "pgo_solve", "with_pose_priors",
+           "with_position_priors"]

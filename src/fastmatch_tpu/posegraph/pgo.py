@@ -30,7 +30,19 @@ from fastmatch_tpu.core.lie import SE3
 
 class PoseGraph(NamedTuple):
     """poses: SE3 batch (N,); edges i->j with measurement Z_ij = T_i T_j^-1
-    (maps cam_j coordinates into cam_i). Fixed-capacity edge table."""
+    (maps cam_j coordinates into cam_i). Fixed-capacity edge table.
+
+    Optional unary PRIOR factors (sensor fusion; all default None):
+    - position priors (the GPS case): ``prior_idx`` (K,) pose indices,
+      ``prior_xyz`` (K, 3) measured camera centers in world coordinates,
+      ``prior_weight`` (K,) information scale (0 = dead slot). Three or
+      more non-collinear position priors anchor the full gauge — no pose
+      needs to be ``fixed``, and the solution lands in the GPS frame
+      (absolute coordinates, not up-to-sim(3)).
+    - full-pose priors: ``prior_T`` SE3 batch (K2,) anchoring
+      ``prior_T_idx`` with ``prior_T_weight`` — e.g. a survey-grade anchor
+      or a previous session's pose.
+    Use ``with_position_priors`` / ``with_pose_priors`` to attach them."""
 
     poses: SE3
     edge_i: jnp.ndarray     # (E,) int32
@@ -39,6 +51,26 @@ class PoseGraph(NamedTuple):
     edge_weight: jnp.ndarray  # (E,) f32 (information scale; 0 = dead edge)
     pose_mask: jnp.ndarray  # (N,) live poses
     fixed: jnp.ndarray      # (N,) gauge-fixed poses
+    prior_idx: jnp.ndarray | None = None      # (K,) int32
+    prior_xyz: jnp.ndarray | None = None      # (K, 3)
+    prior_weight: jnp.ndarray | None = None   # (K,)
+    prior_T_idx: jnp.ndarray | None = None    # (K2,) int32
+    prior_T: SE3 | None = None                # (K2,) SE3 anchors
+    prior_T_weight: jnp.ndarray | None = None  # (K2,)
+
+
+def with_position_priors(g: PoseGraph, idx, xyz, weight) -> PoseGraph:
+    """Attach GPS-style camera-center priors (world coordinates)."""
+    return g._replace(prior_idx=jnp.asarray(idx, jnp.int32),
+                      prior_xyz=jnp.asarray(xyz, jnp.float32),
+                      prior_weight=jnp.asarray(weight, jnp.float32))
+
+
+def with_pose_priors(g: PoseGraph, idx, T: SE3, weight) -> PoseGraph:
+    """Attach full SE3 anchors on the given poses."""
+    return g._replace(prior_T_idx=jnp.asarray(idx, jnp.int32),
+                      prior_T=T,
+                      prior_T_weight=jnp.asarray(weight, jnp.float32))
 
 
 def edge_residuals(poses: SE3, g: PoseGraph) -> jnp.ndarray:
@@ -100,12 +132,99 @@ def _robust_cost(rn, delta, kernel: str):
     raise ValueError(f"unknown robust kernel {kernel!r}")
 
 
-def _graph_cost(poses: SE3, g: PoseGraph, delta, kernel: str):
-    """sum_e edge_weight * rho(|r_e|) — cheap (residuals only, no
-    Jacobian/Hessian assembly) and the correct LM acceptance criterion."""
+def _center(R, t):
+    """Camera center c = -R^T t for one pose."""
+    return -jnp.einsum("ji,j->i", R, t)
+
+
+def _prior_residuals(poses: SE3, g: PoseGraph):
+    """(pos_r (K, 3) or None, pose_r (K2, 6) or None)."""
+    pos_r = pose_r = None
+    if g.prior_idx is not None:
+        Rk = poses.R[g.prior_idx]
+        tk = poses.t[g.prior_idx]
+        pos_r = jax.vmap(_center)(Rk, tk) - g.prior_xyz
+    if g.prior_T_idx is not None:
+        Tk = SE3(poses.R[g.prior_T_idx], poses.t[g.prior_T_idx])
+        pose_r = g.prior_T.inverse().compose(Tk).log()
+    return pos_r, pose_r
+
+
+def _prior_cost(poses: SE3, g: PoseGraph, prior_delta, kernel: str):
+    pos_r, pose_r = _prior_residuals(poses, g)
+    cost = jnp.float32(0.0)
+    if pos_r is not None:
+        rn = jnp.linalg.norm(pos_r, axis=-1)
+        cost = cost + jnp.sum(
+            g.prior_weight * _robust_cost(rn, prior_delta, kernel))
+    if pose_r is not None:
+        rn = jnp.linalg.norm(pose_r, axis=-1)
+        cost = cost + jnp.sum(
+            g.prior_T_weight * _robust_cost(rn, prior_delta, kernel))
+    return cost
+
+
+def _prior_normal_blocks(poses: SE3, g: PoseGraph, prior_delta,
+                         kernel: str):
+    """Unary normal-equation blocks: list of (idx, Hk (K, 6, 6),
+    gk (K, 6)) — one group per prior type present."""
+    groups = []
+    zeros = jnp.zeros(6)
+    if g.prior_idx is not None:
+        def res_pos(xi, R, t, xyz):
+            T = SE3.exp(xi).compose(SE3(R, t))
+            return _center(T.R, T.t) - xyz
+
+        def one(R, t, xyz):
+            r = res_pos(zeros, R, t, xyz)
+            J = jax.jacfwd(res_pos)(zeros, R, t, xyz)
+            return r, J
+
+        r, J = jax.vmap(one)(poses.R[g.prior_idx], poses.t[g.prior_idx],
+                             g.prior_xyz)
+        w = g.prior_weight
+        if prior_delta is not None:
+            w = w * _robust_weight(jnp.linalg.norm(r, axis=-1),
+                                   prior_delta, kernel)
+        wv = w[:, None, None]
+        groups.append((g.prior_idx,
+                       jnp.einsum("eki,ekj->eij", J * wv, J),
+                       jnp.einsum("eki,ek->ei", J * wv, r)))
+    if g.prior_T_idx is not None:
+        def res_T(xi, R, t, ZR, Zt):
+            T = SE3.exp(xi).compose(SE3(R, t))
+            return SE3(ZR, Zt).inverse().compose(T).log()
+
+        def oneT(R, t, ZR, Zt):
+            r = res_T(zeros, R, t, ZR, Zt)
+            J = jax.jacfwd(res_T)(zeros, R, t, ZR, Zt)
+            return r, J
+
+        r, J = jax.vmap(oneT)(poses.R[g.prior_T_idx],
+                              poses.t[g.prior_T_idx],
+                              g.prior_T.R, g.prior_T.t)
+        w = g.prior_T_weight
+        if prior_delta is not None:
+            w = w * _robust_weight(jnp.linalg.norm(r, axis=-1),
+                                   prior_delta, kernel)
+        wv = w[:, None, None]
+        groups.append((g.prior_T_idx,
+                       jnp.einsum("eki,ekj->eij", J * wv, J),
+                       jnp.einsum("eki,ek->ei", J * wv, r)))
+    return groups
+
+
+def _graph_cost(poses: SE3, g: PoseGraph, delta, kernel: str,
+                prior_delta=None):
+    """sum_e edge_weight * rho(|r_e|) (+ prior terms) — cheap (residuals
+    only, no Jacobian/Hessian assembly) and the correct LM acceptance
+    criterion."""
     r = edge_residuals(poses, g)
     rn = jnp.linalg.norm(r, axis=-1)
-    return jnp.sum(g.edge_weight * _robust_cost(rn, delta, kernel))
+    cost = jnp.sum(g.edge_weight * _robust_cost(rn, delta, kernel))
+    if g.prior_idx is not None or g.prior_T_idx is not None:
+        cost = cost + _prior_cost(poses, g, prior_delta, kernel)
+    return cost
 
 
 def _edge_normal_blocks(poses: SE3, g: PoseGraph, huber_delta: float | None,
@@ -130,7 +249,7 @@ def _edge_normal_blocks(poses: SE3, g: PoseGraph, huber_delta: float | None,
 
 
 def _build_normal_eqs(poses: SE3, g: PoseGraph, huber_delta: float | None,
-                      kernel: str = "huber"):
+                      kernel: str = "huber", prior_delta=None):
     n = poses.R.shape[0]
     Hii, Hjj, Hij, gi, gj, w, r = _edge_normal_blocks(
         poses, g, huber_delta, kernel)
@@ -140,12 +259,15 @@ def _build_normal_eqs(poses: SE3, g: PoseGraph, huber_delta: float | None,
     H = H.at[g.edge_i, :, g.edge_j, :].add(Hij)
     H = H.at[g.edge_j, :, g.edge_i, :].add(jnp.swapaxes(Hij, -1, -2))
     grad = jnp.zeros((n, 6)).at[g.edge_i].add(gi).at[g.edge_j].add(gj)
+    for idx, Hk, gk in _prior_normal_blocks(poses, g, prior_delta, kernel):
+        H = H.at[idx, :, idx, :].add(Hk)
+        grad = grad.at[idx].add(gk)
     cost = 0.5 * jnp.sum(w * jnp.sum(r * r, -1))
     return H.reshape(6 * n, 6 * n), grad.reshape(6 * n), cost
 
 
 def _pcg_normal_step(g: PoseGraph, poses: SE3, lam, huber_delta, kernel,
-                     upd, pcg_iters: int):
+                     upd, pcg_iters: int, prior_delta=None):
     """One LM linearization solved matrix-free (component T15 at config-5
     scale): the damped gauge-masked normal equations
     ``(H + lam diag(H)) dx = -grad`` via block-Jacobi-preconditioned CG,
@@ -168,6 +290,12 @@ def _pcg_normal_step(g: PoseGraph, poses: SE3, lam, huber_delta, kernel,
     updc = upd[:, None]
     grad = (seg(gi, g.edge_i) + seg(gj, g.edge_j)) * updc      # (N, 6)
     D = seg(Hii, g.edge_i) + seg(Hjj, g.edge_j)                # (N, 6, 6)
+    # Unary priors contribute only diagonal blocks: into D (the block-
+    # Jacobi preconditioner) and, below, into the matvec's H x.
+    prior_groups = _prior_normal_blocks(poses, g, prior_delta, kernel)
+    for idx, Hk, gk in prior_groups:
+        D = D + seg(Hk, idx)
+        grad = grad + seg(gk, idx) * updc
     d = jnp.diagonal(D, axis1=-2, axis2=-1)                    # (N, 6)
     damp = lam * d + 1e-10
     # Block-Jacobi preconditioner = the damped diagonal blocks of the
@@ -186,6 +314,8 @@ def _pcg_normal_step(g: PoseGraph, poses: SE3, lam, huber_delta, kernel,
         yj = (jnp.einsum("eji,ej->ei", Hij, xi)
               + jnp.einsum("eij,ej->ei", Hjj, xj))
         y = seg(yi, g.edge_i) + seg(yj, g.edge_j) + damp * xm
+        for idx, Hk, _gk in prior_groups:
+            y = y + seg(jnp.einsum("eij,ej->ei", Hk, xm[idx]), idx)
         return y * updc + (1.0 - updc) * x
 
     def precond(r):
@@ -222,7 +352,7 @@ class PGOResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "huber_delta_static", "kernel",
-                                   "solver", "pcg_iters"))
+                                   "solver", "pcg_iters", "prior_delta"))
 def pgo_solve(
     g: PoseGraph,
     max_iters: int = 30,
@@ -232,13 +362,19 @@ def pgo_solve(
     rtol: float = 1e-8,
     solver: str = "dense",
     pcg_iters: int = 64,
+    prior_delta: float | None = None,
 ) -> PGOResult:
     """LM on the pose graph. ``solver="dense"`` (default): one damped
     Cholesky factorization of the full (6N, 6N) system per iteration —
     MXU-friendly and fastest up to ~1-2k poses (config 4). ``solver="pcg"``:
     matrix-free block-Jacobi PCG (``_pcg_normal_step``) — O(E) memory, the
     only option at config-5 scale (10k+ keyframes, BASELINE.json:12) where
-    the dense Hessian would be 14+ GB."""
+    the dense Hessian would be 14+ GB.
+
+    ``prior_delta``: robust-kernel width for the unary prior factors
+    (PoseGraph prior_* fields) in their own units — meters for position
+    priors; None = quadratic (trust every prior). A redescending kernel
+    here is the GPS-outlier defense."""
     if solver not in ("dense", "pcg"):
         raise ValueError(f"unknown solver {solver!r}")
     n = g.poses.R.shape[0]
@@ -246,12 +382,14 @@ def pgo_solve(
     upd6 = jnp.repeat(upd, 6)
 
     def cost_of(R, t):
-        return _graph_cost(SE3(R, t), g, huber_delta_static, kernel)
+        return _graph_cost(SE3(R, t), g, huber_delta_static, kernel,
+                           prior_delta)
 
     cost0 = cost_of(g.poses.R, g.poses.t)
 
     def dense_step(poses, lam):
-        H, grad, _ = _build_normal_eqs(poses, g, huber_delta_static, kernel)
+        H, grad, _ = _build_normal_eqs(poses, g, huber_delta_static, kernel,
+                                       prior_delta)
         # Gauge: zero out fixed rows/cols, identity on their diagonal.
         H = H * upd6[:, None] * upd6[None, :] + jnp.diag(1.0 - upd6)
         grad = grad * upd6
@@ -266,7 +404,7 @@ def pgo_solve(
             dx = dense_step(SE3(R, t), lam)
         else:
             dx = _pcg_normal_step(g, SE3(R, t), lam, huber_delta_static,
-                                  kernel, upd, pcg_iters)
+                                  kernel, upd, pcg_iters, prior_delta)
         bad = jnp.any(jnp.isnan(dx))
         dx = jnp.where(bad, 0.0, dx) * upd[:, None]
         newp = jax.vmap(lambda tw, R_, t_: SE3.exp(tw).compose(SE3(R_, t_)))(dx, R, t)

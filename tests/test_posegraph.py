@@ -139,3 +139,91 @@ class TestPGO:
         ate_rob = float(ate_rmse(jnp.asarray(centers(res_rob.poses.R, res_rob.poses.t)), gt))
         assert ate_rob < ate_plain, f"huber {ate_rob} !< plain {ate_plain}"
         assert ate_rob < 0.1
+
+
+def abs_rmse(R, t, Rg, tg):
+    """RMSE of camera centers WITHOUT alignment — priors must land the
+    solution in the measurement (GPS) frame, so no sim(3) forgiveness."""
+    d = centers(R, t) - centers(Rg, tg)
+    return float(np.sqrt(np.mean(np.sum(d * d, -1))))
+
+
+class TestPriors:
+    """Unary prior factors (GPS / anchor fusion)."""
+
+    def test_gps_anchors_absolute_frame(self, rng):
+        from fastmatch_tpu.posegraph.pgo import with_position_priors
+
+        n = 40
+        g, Rg, tg = build_graph(rng, n=n, drift=0.02, loop=False)
+        # No fixed pose, no loop closure: the GPS priors alone must fix
+        # the gauge AND correct the drift, in absolute coordinates.
+        g = g._replace(fixed=jnp.zeros(n, bool))
+        idx = np.arange(0, n, 4)
+        gps = centers(Rg, tg)[idx] + 0.005 * rng.standard_normal(
+            (len(idx), 3)).astype(np.float32)
+        g2 = with_position_priors(g, idx, gps, 10.0 * np.ones(len(idx)))
+        err0 = abs_rmse(g.poses.R, g.poses.t, Rg, tg)
+        res = pgo_solve(g2, max_iters=40)
+        err = abs_rmse(res.poses.R, res.poses.t, Rg, tg)
+        assert float(res.cost) < float(res.cost0)
+        assert err < 0.05, f"absolute err {err} (drifted {err0})"
+        assert err < err0 * 0.3
+
+    def test_gps_outlier_redescending_kernel(self, rng):
+        from fastmatch_tpu.posegraph.pgo import with_position_priors
+
+        n = 40
+        g, Rg, tg = build_graph(rng, n=n, drift=0.015, loop=False)
+        g = g._replace(fixed=jnp.zeros(n, bool))
+        idx = np.arange(0, n, 4)
+        gps = centers(Rg, tg)[idx].astype(np.float32)
+        gps[3] += np.array([5.0, -3.0, 4.0], np.float32)  # gross outlier
+        g2 = with_position_priors(g, idx, gps, 10.0 * np.ones(len(idx)))
+        res_q = pgo_solve(g2, max_iters=40)                     # quadratic
+        res_r = pgo_solve(g2, max_iters=40, prior_delta=0.25,
+                          kernel="geman")                       # redescending
+        err_q = abs_rmse(res_q.poses.R, res_q.poses.t, Rg, tg)
+        err_r = abs_rmse(res_r.poses.R, res_r.poses.t, Rg, tg)
+        assert err_r < err_q, f"robust {err_r} !< quadratic {err_q}"
+        assert err_r < 0.08, err_r
+
+    def test_pose_prior_anchors(self, rng):
+        from fastmatch_tpu.core.lie import SE3 as _SE3
+        from fastmatch_tpu.posegraph.pgo import with_pose_priors
+
+        n = 20
+        g, Rg, tg = build_graph(rng, n=n, drift=0.02, loop=False)
+        g = g._replace(fixed=jnp.zeros(n, bool))
+        idx = np.array([0, n // 2])
+        T = _SE3(jnp.asarray(Rg[idx]), jnp.asarray(tg[idx]))
+        g2 = with_pose_priors(g, idx, T, 50.0 * np.ones(2))
+        err0 = abs_rmse(g.poses.R, g.poses.t, Rg, tg)
+        res = pgo_solve(g2, max_iters=40)
+        err = abs_rmse(res.poses.R, res.poses.t, Rg, tg)
+        # Two anchors pin the frame; odometry drift BETWEEN anchors
+        # remains (no loop closures here), so assert improvement, not
+        # near-exact recovery.
+        assert err < err0 * 0.7, (err, err0)
+        # The anchored poses sit (nearly) on their anchors.
+        np.testing.assert_allclose(np.asarray(res.poses.R[0]), Rg[0],
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.poses.t[0]), tg[0],
+                                   atol=2e-2)
+
+    def test_pcg_priors_match_dense(self, rng):
+        from fastmatch_tpu.posegraph.pgo import with_position_priors
+
+        n = 40
+        g, Rg, tg = build_graph(rng, n=n, drift=0.02, loop=False)
+        g = g._replace(fixed=jnp.zeros(n, bool))
+        idx = np.arange(0, n, 5)
+        gps = centers(Rg, tg)[idx].astype(np.float32)
+        g2 = with_position_priors(g, idx, gps, 10.0 * np.ones(len(idx)))
+        rd = pgo_solve(g2, max_iters=40)
+        rp = pgo_solve(g2, max_iters=40, solver="pcg", pcg_iters=120)
+        assert abs(float(rp.cost) - float(rd.cost)) <= 0.05 * max(
+            float(rd.cost), 1e-8) + 1e-6
+        err_d = abs_rmse(rd.poses.R, rd.poses.t, Rg, tg)
+        err_p = abs_rmse(rp.poses.R, rp.poses.t, Rg, tg)
+        assert err_p < max(1.5 * err_d, 0.02), (err_p, err_d)
