@@ -234,6 +234,29 @@ def _run_exports(args, rec, cam):
         save_kitti_trajectory(args.export_kitti, rec)
 
 
+def _run_gps(args, rec, cfg, metrics, frame_seq=None):
+    """--gps: georegistration post-pass (pipeline/georegister.py)."""
+    from fastmatch_tpu.pipeline.georegister import georegister
+
+    data = np.load(args.gps)
+    return georegister(rec, data["frames"], data["xyz"], cfg,
+                       weight=args.gps_weight, prior_delta=args.gps_delta,
+                       frame_seq=frame_seq, metrics=metrics)
+
+
+def _add_gps_args(sp):
+    sp.add_argument("--gps", metavar="NPZ",
+                    help="georegister the map to GPS camera centers: npz "
+                    "with 'frames' (sequence indices) and 'xyz' ((K, 3) "
+                    "world positions); sim(3) alignment + GPS-anchored "
+                    "pose graph + anchored BA")
+    sp.add_argument("--gps-weight", type=float, default=10.0,
+                    help="GPS prior information scale")
+    sp.add_argument("--gps-delta", type=float, default=None,
+                    help="robust width (meters) for GPS priors — set to "
+                    "downweight outlier fixes (geman kernel)")
+
+
 def _add_export_args(sp):
     sp.add_argument("--export-ply",
                     help="write the sparse point cloud as ASCII PLY")
@@ -262,6 +285,9 @@ def cmd_reconstruct(args):
     selfcal = None
     if args.selfcal:
         cam, selfcal = _run_selfcal(rec, cam, cfg, args.selfcal, metrics)
+    gps = None
+    if args.gps:
+        gps = _run_gps(args, rec, cfg, metrics)
     if metrics:
         metrics.close()
     centers = rec.camera_centers()
@@ -283,6 +309,7 @@ def cmd_reconstruct(args):
                 "n_obs": rec.n_obs,
                 "out": args.out,
                 **({"selfcal": selfcal} if selfcal else {}),
+                **({"gps": gps} if gps else {}),
             }
         )
     )
@@ -357,6 +384,9 @@ def cmd_slam(args):
     selfcal = None
     if args.selfcal:
         cam, selfcal = _run_selfcal(rec, cam, cfg, args.selfcal, metrics)
+    gps = None
+    if args.gps:
+        gps = _run_gps(args, rec, cfg, metrics, frame_seq=out.frame_seq)
     if metrics:
         metrics.close()
     if args.out:
@@ -384,6 +414,7 @@ def cmd_slam(args):
                 "pgo_runs": out.pgo_runs,
                 "out": args.out,
                 **({"selfcal": selfcal} if selfcal else {}),
+                **({"gps": gps} if gps else {}),
             }
         )
     )
@@ -542,6 +573,7 @@ def main(argv=None):
                     "intrinsics refinement alternated with global BA "
                     "(ba/calibrate.py); refined intrinsics reported in "
                     "the JSON output")
+    _add_gps_args(sp)
     _add_export_args(sp)
     sp.set_defaults(fn=cmd_reconstruct)
 
@@ -583,6 +615,7 @@ def main(argv=None):
     sp.add_argument("--selfcal", type=int, default=0, metavar="N",
                     help="self-calibration post-pass: N rounds of "
                     "intrinsics refinement alternated with global BA")
+    _add_gps_args(sp)
     _add_export_args(sp)
     sp.set_defaults(fn=cmd_slam)
 
