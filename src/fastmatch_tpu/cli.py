@@ -81,9 +81,17 @@ def cmd_match(args):
 
     def load_side(path):
         if path.endswith(".npy"):
+            if args.feature == "orb":
+                raise ValueError("--feature orb needs image inputs "
+                                 "(descriptor .npy dumps are SIFT float)")
             return None, descriptors_from_numpy(np.load(path).astype(np.float32))
-        # image file: native decode + on-device SIFT
+        # image file: native decode + on-device features
         from fastmatch_tpu.utils.imageio import load_gray
+
+        if args.feature == "orb":
+            from fastmatch_tpu.features.orb import detect_and_describe_orb
+
+            return detect_and_describe_orb(jnp.asarray(load_gray(path)))
         from fastmatch_tpu.features.sift import detect_and_describe
 
         kps, descs = detect_and_describe(jnp.asarray(load_gray(path)), cfg.sift)
@@ -91,7 +99,15 @@ def cmd_match(args):
 
     kp_a, da = load_side(args.a)
     kp_b, db = load_side(args.b)
-    if args.method == "mirror":
+    if args.feature == "orb":
+        if args.method == "mirror":
+            raise ValueError("--method mirror applies to SIFT float "
+                             "descriptors; ORB matches in Hamming space")
+        from fastmatch_tpu.matching.hamming import match_pair_hamming
+
+        m = match_pair_hamming(da, db, ratio=cfg.matching.ratio,
+                               cross_check=cfg.matching.cross_check)
+    elif args.method == "mirror":
         from fastmatch_tpu.matching.mirror import match_pair_mirror
 
         m = match_pair_mirror(da, db, tau=args.mirror_tau)
@@ -556,6 +572,10 @@ def main(argv=None):
                          "(matching/mirror.py, no ratio test)")
     sp.add_argument("--mirror-tau", type=float, default=1.0,
                     help="mirror self-distance gate scale")
+    sp.add_argument("--feature", choices=("sift", "orb"), default="sift",
+                    help="descriptor family (image inputs): sift = float "
+                         "L2 matching; orb = FAST+rBRIEF 256-bit binary, "
+                         "Hamming matching on the MXU (features/orb.py)")
     sp.add_argument("--verify-thr", type=float, default=3.0,
                     help="inlier threshold in pixels for --verify")
     sp.set_defaults(fn=cmd_match)

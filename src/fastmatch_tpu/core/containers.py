@@ -74,6 +74,70 @@ class Descriptors(NamedTuple):
         return jnp.sum(self.mask, axis=-1)
 
 
+class BinaryDescriptors(NamedTuple):
+    """Packed binary descriptors (rBRIEF-style) at fixed capacity.
+
+    packed: (C, n_bits // 32) uint32 — bit i of word w is test 32*w + i;
+            padded rows are all-zero.
+    mask:   (C,) bool — True for live entries.
+
+    Hamming distance between two rows is popcount(xor). On TPU the product
+    matcher never popcounts: rows unpack to {-1, +1}^n_bits vectors (padded
+    rows to zeros) whose squared L2 distance is exactly ``4 * hamming`` —
+    the existing MXU distance/top-2 kernels apply verbatim, and because bit
+    values and their <=n_bits integer dot products are exactly representable
+    in bf16-in/f32-accumulate, even the "fast" kernel path is EXACT for
+    binary descriptors. See matching/hamming.py.
+    """
+
+    packed: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.packed.shape[-2]
+
+    @property
+    def n_bits(self) -> int:
+        return self.packed.shape[-1] * 32
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask, axis=-1)
+
+
+def unpack_bits_signed(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """(..., W) uint32 packed bits -> (..., 32*W) float32 in {-1, +1}.
+
+    Rows where ``mask`` is False unpack to zeros (the padded-row convention of
+    ``Descriptors``: a zero row can never win a masked reduction).
+    """
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[..., None] >> shifts) & jnp.uint32(1)  # (..., W, 32)
+    signed = 2.0 * bits.astype(jnp.float32) - 1.0
+    flat = signed.reshape(*packed.shape[:-1], packed.shape[-1] * 32)
+    return jnp.where(mask[..., None], flat, 0.0)
+
+
+def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(..., 32*W) bool/0-1 bits -> (..., W) uint32 packed words."""
+    if bits.shape[-1] % 32:
+        raise ValueError(f"bit count must be a multiple of 32, got {bits.shape[-1]}")
+    w = bits.shape[-1] // 32
+    grouped = bits.astype(jnp.uint32).reshape(*bits.shape[:-1], w, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(grouped << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def binary_descriptors_from_numpy(
+    packed: np.ndarray, capacity: int = DEFAULT_CAPACITY
+) -> BinaryDescriptors:
+    """Build a padded BinaryDescriptors container from a host (N, W) uint32 array."""
+    if packed.ndim != 2 or packed.dtype != np.uint32:
+        raise ValueError(f"expected (N, W) uint32 packed bits, got {packed.shape} {packed.dtype}")
+    data, mask = pad_to_capacity(packed, capacity)
+    return BinaryDescriptors(packed=jnp.asarray(data), mask=jnp.asarray(mask))
+
+
 class Matches(NamedTuple):
     """Result of matching query descriptors A against bank B.
 

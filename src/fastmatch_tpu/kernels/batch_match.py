@@ -219,12 +219,12 @@ def _batch_match_kernel(
 VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _pick_tile_n(n: int, m: int) -> int:
+def _pick_tile_n(n: int, m: int, d: int = DESC_DIM) -> int:
     """Chunk size: both descriptor banks (double-buffered between grid
     steps), the (M, 1) norm column (512 B/row lane-tile padding), the
     (M, 1) argmin carries, and ~6 live (M, max(TN, 128)) f32 temporaries
     inside the fori body must fit the raised VMEM_LIMIT window."""
-    fixed = 2 * (n + m) * DESC_DIM * 4 + 2 * m * 512 + 2 * m * 512
+    fixed = 2 * (n + m) * d * 4 + 2 * m * 512 + 2 * m * 512
     budget = (VMEM_LIMIT * 2) // 3 - fixed
     tn = 1024
     while tn > 128 and 6 * max(tn, 128) * m * 4 > budget:
@@ -252,8 +252,9 @@ def match_batch_fused(
     b = desc_b.data.astype(jnp.float32)
     B, n, d = a.shape
     _, m, d2 = b.shape
-    if d != DESC_DIM or d2 != DESC_DIM:
-        raise ValueError(f"descriptors must be {DESC_DIM}-d, got {d}/{d2}")
+    if d != d2 or d % 128 != 0:
+        raise ValueError(
+            f"descriptor dim must match and be a multiple of 128, got {d}/{d2}")
     if m > MAX_RESIDENT_M:
         raise ValueError(
             f"M={m} exceeds VMEM-resident limit {MAX_RESIDENT_M}; use the "
@@ -263,7 +264,7 @@ def match_batch_fused(
     a2m = jnp.where(desc_a.mask, a2, BIG)[:, None, :]          # (B, 1, N)
     b2m = jnp.where(desc_b.mask, b2, BIG)[..., None]           # (B, M, 1)
     r2 = jnp.full((1, 1), jnp.asarray(ratio, jnp.float32) ** 2)
-    tn = _pick_tile_n(n, m)
+    tn = _pick_tile_n(n, m, d)
     # Fast path: cast ONCE here (XLA fuses it into the norm computation)
     # instead of per-chunk inside the kernel — identical bits, and the bf16
     # operands also halve the per-pair HBM->VMEM descriptor stream.
@@ -278,9 +279,9 @@ def match_batch_fused(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, n, DESC_DIM), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, n, d), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, DESC_DIM), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, m, d), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, 1), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -303,9 +304,8 @@ def match_batch_fused(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * n * m * DESC_DIM,
-            bytes_accessed=4 * B * (2 * n * DESC_DIM + m * DESC_DIM
-                                    + 3 * n + m),
+            flops=2 * B * n * m * d,
+            bytes_accessed=4 * B * (2 * n * d + m * d + 3 * n + m),
             transcendentals=0,
         ),
         interpret=interpret,

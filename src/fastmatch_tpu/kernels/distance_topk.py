@@ -125,10 +125,10 @@ def _distance_topk_kernel(
         nnb_ref[:] = coli_s[:]
 
 
-def _pick_tile_n(n: int, m: int, requested: int) -> int:
+def _pick_tile_n(n: int, m: int, requested: int, d: int = DESC_DIM) -> int:
     """Largest row tile that keeps ~4 live (TN, M) f32 temporaries + B under
     the VMEM budget."""
-    budget = 12 * 1024 * 1024 - 4 * m * DESC_DIM
+    budget = 12 * 1024 * 1024 - 4 * m * d
     tn = requested
     while tn > 128 and 4 * tn * m * 4 > budget:
         tn //= 2
@@ -152,19 +152,21 @@ def distance_topk(
     (idx1 (N,), d1 (N,), d2nd (N,), nnb (M,))."""
     n, d = a.shape
     m, d2 = b.shape
-    if d != DESC_DIM or d2 != DESC_DIM:
-        raise ValueError(f"descriptors must be {DESC_DIM}-d, got {d}/{d2}")
+    # Dim-generic (SIFT 128-d, unpacked 256-bit binary, ...): lanes want a
+    # multiple of 128 so the (TN, D) / (M, D) VMEM tiles stay aligned.
+    if d != d2 or d % 128 != 0:
+        raise ValueError(f"descriptor dim must match and be a multiple of 128, got {d}/{d2}")
     if m > MAX_RESIDENT_M:
         raise ValueError(f"M={m} exceeds VMEM-resident limit {MAX_RESIDENT_M}")
-    tn = _pick_tile_n(n, m, tile_n)
+    tn = _pick_tile_n(n, m, tile_n, d)
     grid = (n // tn,)
     kernel = functools.partial(_distance_topk_kernel, tile_n=tn, m=m, fast=fast)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tn, DESC_DIM), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, DESC_DIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -185,8 +187,8 @@ def distance_topk(
             pltpu.VMEM((1, m), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * m * DESC_DIM,
-            bytes_accessed=4 * (n * DESC_DIM + m * DESC_DIM + 3 * n + 2 * m),
+            flops=2 * n * m * d,
+            bytes_accessed=4 * (n * d + m * d + 3 * n + 2 * m),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -276,11 +278,11 @@ def _chunked_topk(a, b, b2m, a2m, tile_n, interpret, fast=False):
         # +BIG masked norms can never win a reduction, and callers index nnb
         # only at live columns.
         pad = chunk - m % chunk
-        b = jnp.concatenate([b, jnp.zeros((pad, DESC_DIM), b.dtype)])
+        b = jnp.concatenate([b, jnp.zeros((pad, b.shape[1]), b.dtype)])
         b2m = jnp.concatenate([b2m, jnp.full((pad,), BIG, b2m.dtype)])
         m = m + pad
     n_chunks = m // chunk
-    bc = b.reshape(n_chunks, chunk, DESC_DIM)
+    bc = b.reshape(n_chunks, chunk, b.shape[1])
     b2c = b2m.reshape(n_chunks, chunk)
 
     def step(carry, inp):
