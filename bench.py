@@ -142,6 +142,35 @@ def main():
     tpu_fast_256 = bench_tpu_pallas(da256, db256, repeats=8, precision="fast")
     cpu_pairs_s = bench_cpu_cv2(raw[:8])  # cv2 is slow; subsample pairs
 
+    # Binary (ORB/Hamming) matching on the same batch geometry: packed
+    # 256-bit descriptors through the SAME fused kernel via the +-1 unpack
+    # (d2 = 4*hamming; bf16 MXU feed is bit-exact for binaries). Gate:
+    # decision parity with the popcount anchor on pair 0.
+    from fastmatch_tpu.core.containers import BinaryDescriptors
+    from fastmatch_tpu.matching.hamming import (match_batch_hamming,
+                                                match_pair_hamming_jnp)
+
+    pk = rng.integers(0, 2 ** 32, size=(batch, 2048, 8),
+                      dtype=np.uint64).astype(np.uint32)
+    qk = pk.copy()
+    qk[:, :1024] = rng.integers(0, 2 ** 32, size=(batch, 1024, 8),
+                                dtype=np.uint64).astype(np.uint32)
+    bmask = jnp.ones((batch, 2048), bool)
+    A = BinaryDescriptors(packed=jnp.asarray(pk), mask=bmask)
+    B = BinaryDescriptors(packed=jnp.asarray(qk), mask=bmask)
+    anchor = match_pair_hamming_jnp(
+        BinaryDescriptors(A.packed[0], A.mask[0]),
+        BinaryDescriptors(B.packed[0], B.mask[0]))
+    mb = match_batch_hamming(A, B, backend="mxu")
+    assert np.array_equal(np.asarray(anchor.valid), np.asarray(mb.valid)[0])
+    dt_bin = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [match_batch_hamming(A, B, backend="mxu") for _ in range(4)]
+        jax.block_until_ready(outs[-1])
+        dt_bin = min(dt_bin, (time.perf_counter() - t0) / 4)
+    binary_pairs_s = batch / dt_bin
+
     print(
         json.dumps(
             {
@@ -152,6 +181,7 @@ def main():
                 "exact_pairs_per_s": round(tpu_exact, 2),
                 "b256_fast_pairs_per_s": round(tpu_fast_256, 2),
                 "vmapped_per_pair_pairs_per_s": round(vmapped_fast, 2),
+                "orb_binary_pairs_per_s": round(binary_pairs_s, 2),
                 "fast_agreement_vs_exact": round(agreement, 5),
             }
         )

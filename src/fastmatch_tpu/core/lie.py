@@ -173,6 +173,132 @@ class SE3(NamedTuple):
         return SE3.exp(twist).compose(self)
 
 
+def _sim3_W(w: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Sim(3) translation mixer W(w, sigma) = integral_0^1 e^{sigma u} exp(u w^) du.
+
+    Closed form W = C I + A w^ + B (w^)^2 with coefficients depending on
+    theta = |w| and sigma (derived by integrating the Rodrigues expansion of
+    exp(u w^) against e^{sigma u}; verified against numeric quadrature in
+    tests/test_core.py). Small-theta / small-sigma regimes use Taylor
+    fallbacks with the module's double-where pattern (no NaN under grad).
+    """
+    theta2 = jnp.sum(w * w, axis=-1)
+    t_small = theta2 < _EPS
+    s_small = sigma * sigma < _EPS
+    theta2_safe = jnp.where(t_small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    sigma_safe = jnp.where(s_small, 1.0, sigma)
+    # expm1/half-angle forms throughout: the naive (e^sigma - 1), (1 - cos)
+    # and (1 - s*cos) differences lose ~sigma^-1 * ulp relative accuracy in
+    # f32 for small-but-not-tiny arguments (measured 1e-4 log/exp roundtrip
+    # error at sigma ~ 2e-4 before this), far above the Taylor thresholds.
+    em1 = jnp.expm1(sigma)                       # e^sigma - 1, accurate
+    s = em1 + 1.0
+    one_m_cos = 2.0 * jnp.sin(0.5 * theta) ** 2  # 1 - cos(theta), accurate
+    c = sigma * sigma + theta2
+    c_safe = jnp.where(t_small & s_small, 1.0, c)
+
+    # C = int e^{sigma u} du = expm1(sigma)/sigma
+    C = jnp.where(s_small, 1.0 + sigma / 2.0 + sigma * sigma / 6.0,
+                  em1 / sigma_safe)
+    # A = (1/theta) int e^{sigma u} sin(u theta) du
+    a_sin = s * jnp.sin(theta)
+    # 1 - s*cos(theta) = (1 - cos) - expm1(sigma)*cos  (no 1-vs-1 subtraction)
+    one_m_b = one_m_cos - em1 * jnp.cos(theta)
+    A_gen = (a_sin * sigma + one_m_b * theta) / (theta * c_safe)
+    A_tsmall = jnp.where(
+        s_small, 0.5 + sigma / 3.0,
+        # int e^{sigma u} u du = (sigma*s - expm1(sigma)) / sigma^2
+        (sigma * s - em1) / (sigma_safe * sigma_safe))
+    A = jnp.where(t_small, A_tsmall, A_gen)
+    # B = (1/theta^2) int e^{sigma u} (1 - cos(u theta)) du = (C - I_cos)/theta^2
+    I_cos_gen = (-one_m_b * sigma + a_sin * theta) / c_safe
+    B_gen = (C - I_cos_gen) / theta2_safe
+    B_tsmall = jnp.where(
+        s_small, 1.0 / 6.0 + sigma / 8.0,
+        # int e^{sigma u} u^2/2 du = (s*(sigma^2/2 - sigma) + expm1)/sigma^3
+        (s * (0.5 * sigma * sigma - sigma) + em1)
+        / (sigma_safe * sigma_safe * sigma_safe))
+    B = jnp.where(t_small, B_tsmall, B_gen)
+
+    W = hat(w)
+    W2 = W @ W
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return (C[..., None, None] * eye + A[..., None, None] * W
+            + B[..., None, None] * W2)
+
+
+class Sim3(NamedTuple):
+    """Similarity transform: x_world = s * R @ x_local + t.
+
+    R: (..., 3, 3); t: (..., 3); s: (...,) positive scale. Tangent vectors
+    are (..., 7) ``[rho, omega, sigma]`` — translation, rotation, log-scale
+    — extending the SE3 twist layout with a trailing scale slot (so the
+    first 6 columns of Sim3 Jacobians line up with SE3's).
+
+    The monocular-SLAM drift group: a camera-only reconstruction is
+    determined up to similarity, so loop-closure corrections that must
+    absorb scale drift live in Sim(3), not SE(3) (posegraph/sim3.py).
+    """
+
+    R: jnp.ndarray
+    t: jnp.ndarray
+    s: jnp.ndarray
+
+    @staticmethod
+    def identity(batch_shape=()) -> "Sim3":
+        return Sim3(jnp.broadcast_to(jnp.eye(3), batch_shape + (3, 3)),
+                    jnp.zeros(batch_shape + (3,)),
+                    jnp.ones(batch_shape))
+
+    @staticmethod
+    def from_se3(T: SE3, s=None) -> "Sim3":
+        if s is None:
+            s = jnp.ones(T.t.shape[:-1], T.t.dtype)
+        return Sim3(T.R, T.t, jnp.asarray(s))
+
+    def se3(self) -> SE3:
+        """Drop scale (fold NOTHING — callers rescale t/points explicitly)."""
+        return SE3(self.R, self.t)
+
+    @staticmethod
+    def exp(tangent: jnp.ndarray) -> "Sim3":
+        """(..., 7) [rho, omega, sigma] -> Sim3."""
+        rho, w, sigma = tangent[..., :3], tangent[..., 3:6], tangent[..., 6]
+        R = SO3.exp(w)
+        W = _sim3_W(w, sigma)
+        t = jnp.einsum("...ij,...j->...i", W, rho)
+        return Sim3(R, t, jnp.exp(sigma))
+
+    def log(self) -> jnp.ndarray:
+        """Sim3 -> (..., 7) [rho, omega, sigma]."""
+        w = SO3.log(self.R)
+        sigma = jnp.log(self.s)
+        W = _sim3_W(w, sigma)
+        rho = jnp.linalg.solve(W, self.t[..., None])[..., 0]
+        return jnp.concatenate([rho, w, sigma[..., None]], axis=-1)
+
+    def compose(self, other: "Sim3") -> "Sim3":
+        """self ∘ other (apply ``other`` first)."""
+        R = self.R @ other.R
+        t = self.s[..., None] * jnp.einsum("...ij,...j->...i", self.R, other.t) + self.t
+        return Sim3(R, t, self.s * other.s)
+
+    def inverse(self) -> "Sim3":
+        Rt = jnp.swapaxes(self.R, -1, -2)
+        inv_s = 1.0 / self.s
+        return Sim3(Rt, -inv_s[..., None] * jnp.einsum("...ij,...j->...i", Rt, self.t),
+                    inv_s)
+
+    def apply(self, points: jnp.ndarray) -> jnp.ndarray:
+        return (self.s[..., None]
+                * jnp.einsum("...ij,...j->...i", self.R, points) + self.t)
+
+    def retract(self, tangent: jnp.ndarray) -> "Sim3":
+        """Left-multiplicative update exp(tangent) ∘ self."""
+        return Sim3.exp(tangent).compose(self)
+
+
 def se3_adjoint(g: SE3) -> jnp.ndarray:
     """Adjoint matrix Ad_g: (..., 6, 6) for twist order [v, omega]."""
     R, t = g.R, g.t

@@ -50,7 +50,11 @@ class BAConfig:
     # starts warm (the previous interval's solution) and is re-polished by
     # the final global BA, so it needs far fewer iterations than a cold
     # solve. 0 = inherit max_iters / pcg_iters. Both engines (scan and
-    # per-frame driver) read the same knobs — engine parity is preserved.
+    # per-frame driver) read the same knobs. NOTE: capped budgets stop
+    # PCG mid-convergence, where the engines' different XLA compile
+    # contexts leave ~1e-5 fusion noise — engine parity is bitwise only
+    # with budgets 0 (run to stagnation), tolerance-level otherwise
+    # (tested both ways in test_slam_scan).
     # Defaults measured on the 100-frame chip bench: 6/16 is +25% engine
     # throughput at unchanged ATE (0.00246 vs 0.00248 with full budgets;
     # 4/12 is +47% at 0.00253 — left to users who want it). The interval

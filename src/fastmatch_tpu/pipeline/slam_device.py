@@ -65,19 +65,22 @@ class SlamHooks:
            covis=None, covis_thresh: int = 0) -> TrackState:
         prob = ba_problem_from_state(state, fid, window, covis=covis,
                                      covis_thresh=covis_thresh)
-        # BA cost scales with the obs TABLE size, not the live count.
-        # Two-stage compaction: (1) the exact LOCAL selection (same static
-        # bucket as scan mode, keeping the two engines decision-identical —
-        # tested bitwise), (2) a count-driven power-of-two bucket
-        # (tracker.compact_obs; one BA compile per bucket). The scalar
-        # n_obs readback is ~450 us vs the ~0.1-1 s solve it right-sizes.
-        from fastmatch_tpu.pipeline.tracker import (
-            compact_obs, compact_obs_local, obs_bucket)
+        # BA cost scales with the obs TABLE size, not the live count: the
+        # exact LOCAL selection compacts to the same static bucket as scan
+        # mode's run_ba. The compaction here must mirror scan's EXACTLY —
+        # an extra count-driven power-of-two bucket (tracker.compact_obs,
+        # as the final global BA uses) changes the segment-sum reduction
+        # shapes, and with the capped interval budgets (BAConfig
+        # interval_pcg_iters) PCG stops mid-convergence where those
+        # reassociation differences are still live — breaking the engines'
+        # bitwise parity contract (test_slam_scan
+        # test_matches_slam_device_bitwise; at full budgets the stagnation
+        # guard converges both to identical bits, which is how the bucket
+        # slipped in unnoticed).
+        from fastmatch_tpu.pipeline.tracker import compact_obs_local
 
         if cfg.ba.local_obs_cap > 0:
             prob = compact_obs_local(prob, cfg.ba.local_obs_cap)
-        prob = compact_obs(prob, obs_bucket(int(state.n_obs),
-                                            prob.obs.mask.shape[0]))
         res = ba_solve(prob,
                        max_iters=cfg.ba.interval_max_iters or cfg.ba.max_iters,
                        pcg_iters=cfg.ba.interval_pcg_iters or cfg.ba.pcg_iters,

@@ -14,7 +14,11 @@ ENTIRE sequence on device:
   `lax.cond` — identical cadence and arguments to the drive_slam loop
   (fid % ba.interval, covisibility-gated window selection), so the scan
   is decision-identical to slam_device with loop closure disabled, and
-  tested bit-equal on clean sequences (tests/test_slam_scan.py).
+  tested bit-equal on clean sequences with converged (uncapped) interval
+  solves, and decision-identical / tolerance-equal under the default capped
+  interval budgets (tests/test_slam_scan.py — the two engines compile
+  ba_solve in different XLA contexts, so budget-capped mid-PCG state
+  carries ~1e-5 fusion noise that converged solves erase).
 - Relocalization shifts by one frame: drive_slam re-runs a FAILED frame
   with an unbounded window; inside a scan a step cannot re-run, so frame
   k's failure sets frame k+1's window to FULL_WINDOW instead (the window

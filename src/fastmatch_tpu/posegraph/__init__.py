@@ -4,6 +4,13 @@ from fastmatch_tpu.posegraph.pgo import (
     with_pose_priors,
     with_position_priors,
 )
+from fastmatch_tpu.posegraph.sim3 import (
+    Sim3Graph,
+    graph_from_se3,
+    sim3_correct_map,
+    sim3_pgo_solve,
+)
 
-__all__ = ["PoseGraph", "pgo_solve", "with_pose_priors",
+__all__ = ["PoseGraph", "Sim3Graph", "graph_from_se3", "pgo_solve",
+           "sim3_correct_map", "sim3_pgo_solve", "with_pose_priors",
            "with_position_priors"]

@@ -32,8 +32,22 @@ def setup():
 class TestSlamScan:
     def test_matches_slam_device_bitwise(self, setup):
         """Same bootstrap, keys, matching, PnP, BA cadence => on a clean
-        sequence the scan must reproduce the per-frame driver exactly."""
+        sequence the scan must reproduce the per-frame driver exactly.
+
+        Interval budgets are set to 0 (inherit full max/pcg iters): the
+        bitwise guarantee requires the interval solves to run to the
+        stagnation guard — the two engines compile ba_solve in different
+        XLA contexts (standalone jit vs inside scan/cond), whose fusion
+        differences perturb ~1e-5 of mid-flight PCG state. Converged
+        solves erase that (stagnation iterations are numeric no-ops);
+        budget-capped solves expose it — covered by the tolerance test
+        below at the default capped budgets (bisected + ablation-confirmed
+        when the 6/16 defaults landed)."""
+        import dataclasses
         scene, feats, cfg, scfg = setup
+        cfg = dataclasses.replace(
+            cfg, ba=dataclasses.replace(cfg.ba, interval_max_iters=0,
+                                        interval_pcg_iters=0))
         cam = Pinhole.from_K(scene.K)
         dev = slam_device(feats, cam, cfg, scfg)
         scn = slam_scan(feats, cam, cfg, scfg)
@@ -44,6 +58,22 @@ class TestSlamScan:
         np.testing.assert_array_equal(scn.rec.obs_pt, dev.rec.obs_pt)
         assert scn.rec.n_points == dev.rec.n_points
         assert scn.rec.n_obs == dev.rec.n_obs
+
+    def test_matches_slam_device_capped_budgets(self, setup):
+        """Default (capped) interval budgets: decisions still identical
+        (same frames, keyframes, landmark/obs structure) and states equal
+        to the fusion-noise floor — see the bitwise test's docstring."""
+        scene, feats, cfg, scfg = setup
+        cam = Pinhole.from_K(scene.K)
+        dev = slam_device(feats, cam, cfg, scfg)
+        scn = slam_scan(feats, cam, cfg, scfg)
+        assert scn.frame_seq == dev.frame_seq
+        assert scn.rec.n_points == dev.rec.n_points
+        assert scn.rec.n_obs == dev.rec.n_obs
+        np.testing.assert_array_equal(scn.rec.obs_pt, dev.rec.obs_pt)
+        np.testing.assert_allclose(scn.rec.R, dev.rec.R, atol=5e-4)
+        np.testing.assert_allclose(scn.rec.t, dev.rec.t, atol=5e-4)
+        np.testing.assert_allclose(scn.rec.points, dev.rec.points, atol=5e-3)
 
     def test_ate(self, setup):
         scene, feats, cfg, scfg = setup
