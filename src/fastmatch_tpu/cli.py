@@ -297,7 +297,13 @@ def cmd_reconstruct(args):
     from fastmatch_tpu.utils.metrics import profile_trace
 
     with profile_trace(args.profile_dir):
-        rec = reconstruct(feats, cam, cfg, metrics=metrics)
+        if getattr(args, "mode", "incremental") == "global":
+            from fastmatch_tpu.pipeline.global_sfm import global_reconstruct
+
+            rec = global_reconstruct(feats, cam, cfg, metrics=metrics,
+                                     window=args.window)
+        else:
+            rec = reconstruct(feats, cam, cfg, metrics=metrics)
     selfcal = None
     if args.selfcal:
         cam, selfcal = _run_selfcal(rec, cam, cfg, args.selfcal, metrics)
@@ -583,6 +589,15 @@ def main(argv=None):
     sp = sub.add_parser("reconstruct")
     sp.add_argument("input", help="image dir or features .npz")
     _add_camera_args(sp)
+    sp.add_argument("--mode", choices=["incremental", "global"],
+                    default="incremental",
+                    help="incremental SfM (default) or global SfM "
+                    "(rotation + translation averaging over the view "
+                    "graph, one global BA — pipeline/global_sfm.py)")
+    sp.add_argument("--window", type=int, default=8,
+                    help="global mode: match each frame against the "
+                    "next N frames (view-graph density; keep >= 4 for "
+                    "parallel rigidity)")
     sp.add_argument("--out")
     sp.add_argument("--checkpoint")
     sp.add_argument("--metrics", help="write JSONL metrics here")

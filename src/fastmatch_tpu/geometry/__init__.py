@@ -20,6 +20,13 @@ from fastmatch_tpu.geometry.homography import (
     select_two_view_model,
     symmetric_transfer_error,
 )
+from fastmatch_tpu.geometry.averaging import (
+    ViewGraph,
+    filter_edges_by_rotation,
+    rotation_averaging,
+    spanning_tree_rotations,
+    translation_averaging,
+)
 from fastmatch_tpu.geometry.ransac import ransac_essential, RansacResult
 from fastmatch_tpu.geometry.triangulation import triangulate_dlt
 from fastmatch_tpu.geometry.pnp import pnp_dlt, pnp_planar, ransac_pnp
@@ -43,6 +50,11 @@ __all__ = [
     "FundamentalResult",
     "ransac_essential",
     "RansacResult",
+    "ViewGraph",
+    "spanning_tree_rotations",
+    "rotation_averaging",
+    "translation_averaging",
+    "filter_edges_by_rotation",
     "triangulate_dlt",
     "pnp_dlt",
     "pnp_planar",
