@@ -106,7 +106,7 @@ def build_view_graph(
             if len(q) < 8:
                 continue
             x1 = _normalize(xy_i[q], camera).astype(np.float32)
-            x2 = _normalize(xy_j[q], camera).astype(np.float32)
+            x2 = _normalize(xy_j[idx[q]], camera).astype(np.float32)
             x1p, x2p, pmask = _pad_for_ransac([x1, x2], len(q))
             key, sub = jax.random.split(key)
             res = ransac_essential(
@@ -223,8 +223,8 @@ def global_reconstruct(
         pair_matches, [f[0].shape[0] for f in features],
         max_tracks=cap_pts)
     if metrics is not None:
-        metrics.log(dict(stage="view_graph", edges=n_edges,
-                         tracks=n_tracks, obs=len(obs_f)))
+        metrics.log("view_graph", edges=n_edges,
+                    tracks=n_tracks, obs=len(obs_f))
 
     # 4. averaging
     R0 = spanning_tree_rotations(
@@ -291,6 +291,6 @@ def global_reconstruct(
         stage="global", edges=n_edges, tracks=int(good_track.sum()),
         obs=rec.n_obs, ba_cost0=cost0, ba_cost=cost))
     if metrics is not None:
-        metrics.log(dict(stage="global_ba", cost0=cost0, cost=cost,
-                         points=int(rec.n_points), obs=int(rec.n_obs)))
+        metrics.log("global_ba", cost0=cost0, cost=cost,
+                    points=int(rec.n_points), obs=int(rec.n_obs))
     return rec

@@ -188,7 +188,9 @@ class TestGlobalReconstruct:
             ba=BAConfig(max_iters=15, pcg_iters=30),
             map=MapConfig(max_frames=16, max_points=2048, max_obs=16384))
         scene = SyntheticScene(rng, n_points=300, n_frames=10)
-        feats = synthetic_features(rng, scene, noise_px=0.3)
+        # shuffle=True: per-frame keypoint order is randomized so the
+        # match-index plumbing (xy_j[idx[q]]) is actually exercised.
+        feats = synthetic_features(rng, scene, noise_px=0.3, shuffle=True)
         cam = Pinhole.from_K(scene.K)
         rec = global_reconstruct(feats, cam, cfg, window=6)
         assert rec.n_frames == 10

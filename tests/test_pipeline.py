@@ -13,14 +13,20 @@ from fastmatch_tpu.utils.evaluation import ate_rmse
 from synth import SyntheticScene, random_descriptors
 
 
-def synthetic_features(rng, scene, noise_px=0.3, cap=512):
+def synthetic_features(rng, scene, noise_px=0.3, cap=512, shuffle=False):
     """Fabricated per-frame features: each landmark gets a stable random
-    descriptor (plus per-observation noise), keypoints at its projection."""
+    descriptor (plus per-observation noise), keypoints at its projection.
+
+    shuffle=True permutes keypoint order independently per frame so that
+    cross-frame index alignment cannot mask match-index plumbing bugs
+    (ADVICE r3: the aligned default hid a build_view_graph bug)."""
     n_pts = scene.points.shape[0]
     base_desc = random_descriptors(rng, n_pts)
     feats = []
     for f in range(scene.R.shape[0]):
         vis = np.where(scene.visible[f])[0]
+        if shuffle:
+            vis = rng.permutation(vis)
         xy = scene.pixels[f, vis] + noise_px * rng.standard_normal((len(vis), 2))
         desc = base_desc[vis] + 0.05 * rng.standard_normal((len(vis), 128)).astype(
             np.float32
