@@ -105,17 +105,20 @@ class BinaryDescriptors(NamedTuple):
         return jnp.sum(self.mask, axis=-1)
 
 
-def unpack_bits_signed(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """(..., W) uint32 packed bits -> (..., 32*W) float32 in {-1, +1}.
+def unpack_bits_signed(packed: jnp.ndarray, mask: jnp.ndarray,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """(..., W) uint32 packed bits -> (..., 32*W) ``dtype`` in {-1, +1}.
 
     Rows where ``mask`` is False unpack to zeros (the padded-row convention of
-    ``Descriptors``: a zero row can never win a masked reduction).
+    ``Descriptors``: a zero row can never win a masked reduction). +-1 and 0
+    are exact in bf16, so ``dtype=jnp.bfloat16`` unpacks losslessly while
+    halving the materialized operand (the MXU fast path's native feed).
     """
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (packed[..., None] >> shifts) & jnp.uint32(1)  # (..., W, 32)
-    signed = 2.0 * bits.astype(jnp.float32) - 1.0
+    signed = (2 * bits.astype(jnp.int32) - 1).astype(dtype)
     flat = signed.reshape(*packed.shape[:-1], packed.shape[-1] * 32)
-    return jnp.where(mask[..., None], flat, 0.0)
+    return jnp.where(mask[..., None], flat, jnp.zeros((), dtype))
 
 
 def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:

@@ -235,7 +235,8 @@ def _pick_tile_n(n: int, m: int, d: int = DESC_DIM) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cross_check", "fast", "interpret"))
+    jax.jit,
+    static_argnames=("cross_check", "fast", "interpret", "const_sq_norm"))
 def match_batch_fused(
     desc_a: Descriptors,
     desc_b: Descriptors,
@@ -243,13 +244,21 @@ def match_batch_fused(
     cross_check: bool = True,
     fast: bool = False,
     interpret: bool = False,
+    const_sq_norm: float | None = None,
 ) -> Matches:
     """Fused batched matcher. desc_a/desc_b carry a leading batch axis
     (B, C, 128) / (B, C); returns batched Matches. Decision-identical to
     ``vmap(match_pair_jnp)``; ``fast=True`` feeds the MXU in bf16
-    (>=99% agreement gate, tested in bench.py)."""
-    a = desc_a.data.astype(jnp.float32)
-    b = desc_b.data.astype(jnp.float32)
+    (>=99% agreement gate, tested in bench.py).
+
+    ``const_sq_norm``: every LIVE row of both operands has exactly this
+    squared norm (e.g. n_bits for +-1-unpacked binary descriptors, whose
+    norms the XLA prologue otherwise reduces over two (B, C, D) arrays —
+    a measured ~2 ms/batch at 64x2048x256). Skips the data-dependent norm
+    computation; padded rows still get BIG. The value must be exactly
+    representable in f32 for parity with the data-computed path."""
+    a = desc_a.data
+    b = desc_b.data
     B, n, d = a.shape
     _, m, d2 = b.shape
     if d != d2 or d % 128 != 0:
@@ -259,8 +268,17 @@ def match_batch_fused(
         raise ValueError(
             f"M={m} exceeds VMEM-resident limit {MAX_RESIDENT_M}; use the "
             "chunked per-pair path (matching.match_batch backend='pallas')")
-    a2 = jnp.sum(a * a, axis=-1)
-    b2 = jnp.sum(b * b, axis=-1)
+    if const_sq_norm is None:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        a2 = jnp.sum(a * a, axis=-1)
+        b2 = jnp.sum(b * b, axis=-1)
+    else:
+        if not fast:
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
+        a2 = jnp.float32(const_sq_norm)
+        b2 = jnp.float32(const_sq_norm)
     a2m = jnp.where(desc_a.mask, a2, BIG)[:, None, :]          # (B, 1, N)
     b2m = jnp.where(desc_b.mask, b2, BIG)[..., None]           # (B, M, 1)
     r2 = jnp.full((1, 1), jnp.asarray(ratio, jnp.float32) ** 2)
