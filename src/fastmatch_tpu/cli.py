@@ -143,6 +143,96 @@ def cmd_match(args):
     print(json.dumps({"n_matches": int(valid.sum()), "out": args.out, **report}))
 
 
+def cmd_flow(args):
+    """KLT tracking between two images: detect Shi-Tomasi corners on A,
+    track them into B (features/klt.py), optional geometric verification
+    through the same verify_matches path the descriptor matcher uses."""
+    import jax
+    import jax.numpy as jnp
+    from fastmatch_tpu.core.containers import Keypoints, Matches
+    from fastmatch_tpu.features.klt import KLTConfig, track_pair
+    from fastmatch_tpu.utils.imageio import load_gray
+
+    cfg = KLTConfig(levels=args.levels, win=args.win)
+    img_a, img_b = load_gray(args.a), load_gray(args.b)
+    p0, p1, status, err = track_pair(jnp.asarray(img_a), jnp.asarray(img_b),
+                                     cfg, capacity=args.capacity)
+    report = {"n_corners": int(np.asarray(status).shape[0]),
+              "n_tracked": int(np.asarray(status).sum())}
+    if args.verify != "none":
+        from fastmatch_tpu.matching.verify import verify_matches
+
+        cap = p0.shape[0]
+        mk = lambda xy: Keypoints(
+            xy=xy, scale=jnp.ones(cap), angle=jnp.zeros(cap),
+            score=jnp.zeros(cap), mask=status)
+        m = Matches(idx=jnp.arange(cap, dtype=jnp.int32),
+                    dist=jnp.where(status, err, 0.0), valid=status)
+        vr = verify_matches(jax.random.PRNGKey(0), mk(p0), mk(p1), m,
+                            model=args.verify, thr_px=args.verify_thr)
+        status = vr.matches.valid
+        report["verified"] = bool(vr.ok)
+        report["model_inliers"] = int(vr.n_inliers)
+    st = np.asarray(status)
+    if args.out:
+        np.savez(args.out, xy_a=np.asarray(p0)[st], xy_b=np.asarray(p1)[st],
+                 err=np.asarray(err)[st])
+    mean_err = float(np.asarray(err)[st].mean()) if st.any() else 0.0
+    print(json.dumps({**report, "n_final": int(st.sum()),
+                      "mean_residual": round(mean_err, 5), "out": args.out}))
+
+
+def cmd_stereo(args):
+    """Dense rectified-stereo depth (dense/stereo.py): two images + either
+    a known baseline (already-rectified rig) or a relative pose npz
+    (R (3,3), t (3,)) to rectify first. Outputs disparity/depth npz and
+    optionally a dense PLY point cloud."""
+    import jax.numpy as jnp
+    from fastmatch_tpu.dense.stereo import (StereoConfig,
+                                            depth_from_disparity,
+                                            disparity_to_points,
+                                            rectify_pair, stereo_disparity)
+    from fastmatch_tpu.utils.imageio import load_gray
+
+    left = load_gray(args.left)
+    right = load_gray(args.right)
+    h, w = left.shape
+    fx = args.focal if args.focal else 1.2 * max(h, w)
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]])
+    baseline = args.baseline
+    if args.pose:
+        pose = np.load(args.pose)
+        la, rb, info = rectify_pair(jnp.asarray(left), jnp.asarray(right),
+                                    K, pose["R"], pose["t"])
+        left, right = np.asarray(la), np.asarray(rb)
+        baseline = info["baseline"] * (args.baseline or 1.0)
+    elif baseline is None:
+        raise ValueError("need --baseline (rectified rig) or --pose npz")
+    cfg = StereoConfig(max_disp=args.max_disp, win=args.win)
+    disp, valid = stereo_disparity(jnp.asarray(left), jnp.asarray(right), cfg)
+    depth = depth_from_disparity(disp, valid, fx, baseline)
+    v = np.asarray(valid)
+    report = {"valid_frac": round(float(v.mean()), 4),
+              "median_depth": round(float(np.median(np.asarray(depth)[v])), 4)
+              if v.any() else None}
+    if args.out:
+        np.savez(args.out, disparity=np.asarray(disp), valid=v,
+                 depth=np.asarray(depth))
+        report["out"] = args.out
+    if args.export_ply:
+        from fastmatch_tpu.utils.export import save_ply
+
+        pts, inten = disparity_to_points(disp, valid, K, baseline, image=left,
+                                         stride=args.stride,
+                                         max_depth=args.max_depth)
+        save_ply(args.export_ply, pts,
+                 colors=np.repeat((inten * 255).astype(np.uint8)[:, None], 3,
+                                  axis=1))
+        report["ply"] = args.export_ply
+        report["n_points"] = int(len(pts))
+    print(json.dumps(report))
+
+
 def _load_features(args, cfg):
     """Feature sequence from a .npz dump or an image directory (native
     threaded prefetch + on-device SIFT). Returns (feats, camera)."""
@@ -189,6 +279,14 @@ def _load_features(args, cfg):
                 expected += 1
         if expected != len(paths):
             raise IOError(f"failed to decode {paths[expected]}")
+    return feats, _make_camera(args, (w, h))
+
+
+def _make_camera(args, size):
+    """--focal/--camera-model/--dist -> camera object (center at w/2, h/2)."""
+    from fastmatch_tpu.core.camera import Pinhole
+
+    w, h = size
     fx = args.focal
     K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
     dist = tuple(float(x) for x in args.dist.split(",")) if getattr(
@@ -196,10 +294,8 @@ def _load_features(args, cfg):
     if getattr(args, "camera_model", "pinhole") == "fisheye":
         from fastmatch_tpu.core.camera import Fisheye
 
-        cam = Fisheye.from_K(K, dist)
-    else:
-        cam = Pinhole.from_K(K, dist)
-    return feats, cam
+        return Fisheye.from_K(K, dist)
+    return Pinhole.from_K(K, dist)
 
 
 def _add_camera_args(sp):
@@ -335,6 +431,52 @@ def cmd_reconstruct(args):
             }
         )
     )
+
+
+def cmd_vo(args):
+    """KLT visual odometry over an image directory (pipeline/vo.py)."""
+    import glob
+    import jax.numpy as jnp
+    from fastmatch_tpu.features.klt import KLTConfig
+    from fastmatch_tpu.pipeline.vo import VOConfig, visual_odometry
+    from fastmatch_tpu.utils.imageio import FrameLoader, load_gray
+
+    cfg = _load_config(args)
+    paths = sorted(glob.glob(args.input + "/*"))
+    if len(paths) < 2:
+        raise ValueError(f"{args.input}: need >= 2 frames, got {len(paths)}")
+    first = load_gray(paths[0])
+    h, w = first.shape
+    cam = _make_camera(args, (w, h))
+    vo = VOConfig(capacity=args.capacity,
+                  bootstrap_px=args.bootstrap_px, kf_px=args.kf_px,
+                  klt=KLTConfig(levels=args.levels))
+    metrics = None
+    if args.metrics:
+        from fastmatch_tpu.utils.metrics import MetricsLogger
+
+        metrics = MetricsLogger(path=args.metrics)
+
+    def frames():
+        yield first
+        with FrameLoader(paths[1:], size=(w, h)) as fl:
+            for _, img in fl:
+                yield img
+
+    rec = visual_odometry(frames(), cam, cfg, vo, metrics=metrics)
+    if metrics:
+        metrics.close()
+    centers = rec.camera_centers()
+    if args.out:
+        np.savez(args.out, centers=centers, R=rec.R[: rec.n_frames],
+                 t=rec.t[: rec.n_frames], points=rec.points[rec.pt_mask])
+    _run_exports(args, rec, cam)
+    n_kf = sum(1 for s in rec.frame_stats if s.get("kf"))
+    n_fail = sum(1 for s in rec.frame_stats if s.get("pnp_failed"))
+    print(json.dumps({"n_frames": rec.n_frames, "n_keyframes": n_kf,
+                      "n_points": int(rec.pt_mask.sum()),
+                      "n_obs": rec.n_obs, "pnp_failures": n_fail,
+                      "out": args.out}))
 
 
 def _parse_mesh(spec: str) -> dict:
@@ -585,6 +727,57 @@ def main(argv=None):
     sp.add_argument("--verify-thr", type=float, default=3.0,
                     help="inlier threshold in pixels for --verify")
     sp.set_defaults(fn=cmd_match)
+
+    sp = sub.add_parser(
+        "flow", help="KLT: Shi-Tomasi corners on A tracked into B "
+        "(features/klt.py) — the small-baseline front-end")
+    sp.add_argument("a")
+    sp.add_argument("b")
+    sp.add_argument("--out", help=".npz of (xy_a, xy_b, err) for live tracks")
+    sp.add_argument("--capacity", type=int, default=1024,
+                    help="corner capacity (power of two)")
+    sp.add_argument("--levels", type=int, default=3)
+    sp.add_argument("--win", type=int, default=11)
+    sp.add_argument("--verify", default="none",
+                    choices=["none", "fundamental", "homography"],
+                    help="geometric verification filter on the tracks")
+    sp.add_argument("--verify-thr", type=float, default=3.0)
+    sp.set_defaults(fn=cmd_flow)
+
+    sp = sub.add_parser(
+        "stereo", help="dense rectified-stereo depth (dense/stereo.py): "
+        "ZNCC shift-sweep cost volume, subpixel WTA, LR check")
+    sp.add_argument("left")
+    sp.add_argument("right")
+    sp.add_argument("--baseline", type=float,
+                    help="rig baseline in world units (rectified inputs)")
+    sp.add_argument("--pose", help=".npz with R (3,3), t (3,): rectify "
+                    "the pair first (t scale sets the depth unit unless "
+                    "--baseline also given as a scale factor)")
+    sp.add_argument("--focal", type=float, help="fx in px (default 1.2*max(h,w))")
+    sp.add_argument("--max-disp", type=int, default=64)
+    sp.add_argument("--win", type=int, default=9)
+    sp.add_argument("--out", help="output .npz (disparity, valid, depth)")
+    sp.add_argument("--export-ply", help="dense colored point cloud PLY")
+    sp.add_argument("--stride", type=int, default=2,
+                    help="PLY subsample stride")
+    sp.add_argument("--max-depth", type=float, default=float("inf"))
+    sp.set_defaults(fn=cmd_stereo)
+
+    sp = sub.add_parser(
+        "vo", help="KLT visual odometry over an image dir (pipeline/vo.py):"
+        " flow-tracked landmarks + PnP, keyframed triangulation + BA")
+    sp.add_argument("input", help="image directory (sorted lexically)")
+    _add_camera_args(sp)
+    sp.add_argument("--capacity", type=int, default=512,
+                    help="track slots (KLT compile shape)")
+    sp.add_argument("--levels", type=int, default=3, help="KLT pyramid levels")
+    sp.add_argument("--bootstrap-px", type=float, default=20.0)
+    sp.add_argument("--kf-px", type=float, default=12.0)
+    sp.add_argument("--out", help="trajectory/points .npz")
+    sp.add_argument("--metrics", help="JSONL metrics path")
+    _add_export_args(sp)
+    sp.set_defaults(fn=cmd_vo)
 
     sp = sub.add_parser("reconstruct")
     sp.add_argument("input", help="image dir or features .npz")
