@@ -479,6 +479,41 @@ def cmd_vo(args):
                       "out": args.out}))
 
 
+def cmd_densify(args):
+    """Dense mapping (dense/densify.py): stereo-sweep selected frame pairs
+    of a posed sequence, fuse into one world-frame colored cloud."""
+    import glob
+    from fastmatch_tpu.dense.densify import densify
+    from fastmatch_tpu.dense.stereo import StereoConfig
+    from fastmatch_tpu.utils.export import save_ply
+    from fastmatch_tpu.utils.imageio import FrameLoader, load_gray
+
+    traj = np.load(args.traj)
+    R, t = traj["R"], traj["t"]
+    sparse = traj["points"] if "points" in traj.files else None
+    paths = sorted(glob.glob(args.input + "/*"))
+    if len(paths) < R.shape[0]:
+        raise ValueError(f"{len(paths)} images < {R.shape[0]} poses")
+    first = load_gray(paths[0])
+    h, w = first.shape
+    images = [first]
+    with FrameLoader(paths[1:R.shape[0]], size=(w, h)) as fl:
+        for _, img in fl:
+            images.append(img)
+    fx = args.focal
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]])
+    pts, inten, rep = densify(
+        images, R, t, K, sparse_points=sparse,
+        cfg=StereoConfig(max_disp=args.max_disp, win=args.win),
+        stride=args.stride, voxel=args.voxel)
+    if args.export_ply:
+        save_ply(args.export_ply, pts,
+                 colors=np.repeat((np.clip(inten, 0, 1)
+                                   * 255).astype(np.uint8)[:, None], 3, 1))
+        rep["ply"] = args.export_ply
+    print(json.dumps(rep))
+
+
 def _parse_mesh(spec: str) -> dict:
     """'bank=4' / 'data=2,bank=4' -> {'n_data': 2, 'n_bank': 4}."""
     out = {}
@@ -778,6 +813,21 @@ def main(argv=None):
     sp.add_argument("--metrics", help="JSONL metrics path")
     _add_export_args(sp)
     sp.set_defaults(fn=cmd_vo)
+
+    sp = sub.add_parser(
+        "densify", help="dense mapping (dense/densify.py): stereo-sweep "
+        "frame pairs of a posed sequence into a fused world cloud")
+    sp.add_argument("input", help="image directory (sorted lexically)")
+    sp.add_argument("--traj", required=True,
+                    help=".npz from vo/reconstruct --out (R, t[, points])")
+    sp.add_argument("--focal", type=float, default=500.0)
+    sp.add_argument("--max-disp", type=int, default=64)
+    sp.add_argument("--win", type=int, default=9)
+    sp.add_argument("--stride", type=int, default=2)
+    sp.add_argument("--voxel", type=float,
+                    help="fusion grid (world units; default depth/200)")
+    sp.add_argument("--export-ply", help="output PLY path")
+    sp.set_defaults(fn=cmd_densify)
 
     sp = sub.add_parser("reconstruct")
     sp.add_argument("input", help="image dir or features .npz")

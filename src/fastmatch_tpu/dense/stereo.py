@@ -219,10 +219,10 @@ def rectify_pair(img_a: jnp.ndarray, img_b: jnp.ndarray, K: np.ndarray,
     baseline = float(np.linalg.norm(c_b))
     if baseline < 1e-9:
         raise ValueError("rectification needs a nonzero baseline")
-    # New axes (in a's frame): x along the baseline; z close to a's z.
+    # New axes (in a's frame): x along the baseline TOWARD camera b —
+    # that (and only that) makes a the LEFT camera with positive
+    # disparities, regardless of how the pair is oriented in the world.
     ex = c_b / baseline
-    if ex[0] < 0:            # keep left-to-right ordering: a is LEFT
-        ex = -ex
     ez0 = np.array([0.0, 0.0, 1.0])
     ey = np.cross(ez0, ex)
     ey /= np.linalg.norm(ey)
