@@ -138,6 +138,50 @@ def predict(Ri, pi, vi, pre: ImuPreintegration, g: jnp.ndarray):
     return Rj, pj, vj
 
 
+def apply_vi_alignment(rec, pres: ImuPreintegration, g_mag: float = 9.81):
+    """Metric-upgrade a monocular Reconstruction in place from IMU data.
+
+    ``pres``: ImuPreintegration batch over consecutive FRAME intervals
+    (leading axis rec.n_frames - 1; camera frame == body frame). Runs
+    vi_align on the reconstruction's poses, then applies the ONE global
+    similarity that makes the map metric and gravity-aligned (new world:
+    scale in meters, gravity along -z): X' = s * R_g X, per-pose
+    R' = R R_g^T, t' = s t — projections are preserved exactly (every
+    x_cam scales by s, a no-op on pixels).
+
+    Returns dict(scale, gravity, resid) for reporting; velocities are
+    recomputed in the new frame on demand via vi_align if needed.
+    """
+    import numpy as np
+
+    F = rec.n_frames
+    R_wc = np.asarray(rec.R[:F])                   # world->cam
+    R_wb = jnp.asarray(R_wc.transpose(0, 2, 1))    # body(cam)->world
+    centers = -np.einsum("fji,fj->fi", R_wc, np.asarray(rec.t[:F]))
+    s, g, v, resid = vi_align(R_wb, jnp.asarray(centers.astype(np.float32)),
+                              pres, g_mag=g_mag)
+    s = float(s)
+    g_np = np.asarray(g, np.float64)
+    # Minimal rotation taking the estimated gravity to (0, 0, -g_mag).
+    a = g_np / np.linalg.norm(g_np)
+    b = np.array([0.0, 0.0, -1.0])
+    vx = np.cross(a, b)
+    c = float(a @ b)
+    if np.linalg.norm(vx) < 1e-12:
+        R_g = np.eye(3) if c > 0 else np.diag([1.0, -1.0, -1.0])
+    else:
+        K = np.array([[0, -vx[2], vx[1]], [vx[2], 0, -vx[0]],
+                      [-vx[1], vx[0], 0]])
+        R_g = np.eye(3) + K + K @ K / (1.0 + c)
+    rec.R[:F] = np.einsum("fij,kj->fik", R_wc, R_g).astype(np.float32)
+    rec.t[:F] = (s * np.asarray(rec.t[:F])).astype(np.float32)
+    live = rec.pt_mask
+    rec.points[live] = (s * (np.asarray(rec.points[live]) @ R_g.T)).astype(
+        np.float32)
+    return dict(scale=s, gravity=[float(x) for x in g_np],
+                resid=float(resid))
+
+
 def vi_align(R_wb: jnp.ndarray, p_cam: jnp.ndarray, pres: ImuPreintegration,
              g_mag: float = 9.81):
     """Monocular visual-inertial initialization: solve scale, gravity, and
