@@ -83,20 +83,27 @@ def stereo_disparity(left: jnp.ndarray, right: jnp.ndarray,
     win, D = cfg.win, cfg.max_disp
     n = float(win * win)
 
-    # Left-image moments (shared across hypotheses).
+    # Left-image moments (shared across hypotheses), and the right
+    # image's moments computed ONCE: box(roll(R, d)) == roll(box(R), d)
+    # exactly wherever the window doesn't straddle the wrap seam or the
+    # image border — and every such column is already masked (left side
+    # by the xs >= d + win//2 range gate; the rolled-in right-border
+    # truncated sums land at x < d and are gated too). Hoisting sR/sRR
+    # removes 2 of the 3 box filters from the D-deep sweep.
     sL = _box(L, win)
     sLL = _box(L * L, win)
     varL = jnp.maximum(sLL - sL * sL / n, 1e-8)
+    sR0 = _box(R, win)
+    varR0 = jnp.maximum(_box(R * R, win) - sR0 * sR0 / n, 1e-8)
 
     xs = jnp.arange(W)
 
     def cost_at(d):
         """ZNCC of L vs right-shifted-by-d, plus in-range mask."""
         Rd = jnp.roll(R, d, axis=1)
-        sR = _box(Rd, win)
-        sRR = _box(Rd * Rd, win)
+        sR = jnp.roll(sR0, d, axis=1)
+        varR = jnp.roll(varR0, d, axis=1)
         sLR = _box(L * Rd, win)
-        varR = jnp.maximum(sRR - sR * sR / n, 1e-8)
         cov = sLR - sL * sR / n
         zncc = cov * jax.lax.rsqrt(varL * varR)
         return jnp.where(xs[None, :] >= d + win // 2, zncc, -2.0)
