@@ -175,6 +175,19 @@ def stereo_disparity(left: jnp.ndarray, right: jnp.ndarray,
     return jnp.where(valid, disp, 0.0), valid
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def stereo_batch(left: jnp.ndarray, right: jnp.ndarray,
+                 cfg: StereoConfig = StereoConfig()):
+    """Batched sweep: (B, H, W) pairs -> ((B, H, W) disp, (B, H, W) valid).
+
+    vmap of ``stereo_disparity`` — data-parallel over pairs. Multi-chip:
+    shard the batch axis (``dist.mesh.batch_sharding``) and jit
+    partitions it with zero collectives (each pair's sweep is
+    self-contained); tested on the 8-device CPU mesh in test_stereo.
+    """
+    return jax.vmap(lambda l, r: stereo_disparity(l, r, cfg))(left, right)
+
+
 def depth_from_disparity(disp: jnp.ndarray, valid: jnp.ndarray, fx: float,
                          baseline: float):
     """disp (H, W) px -> depth (H, W) along the rectified z axis."""

@@ -129,6 +129,35 @@ class TestDisparity:
         assert np.median(ours) < max(0.4, 1.1 * np.median(theirs))
 
 
+class TestShardedStereo:
+    def test_batch_sharded_equals_single(self, rng):
+        """DP over the 8-device CPU mesh: per-pair results bit-equal to
+        the unsharded sweep (each pair's sweep is self-contained)."""
+        import jax
+        from fastmatch_tpu.dense.stereo import stereo_batch
+        from fastmatch_tpu.dist.mesh import batch_sharding, make_mesh
+
+        pairs = [make_rectified_pair(rng, h=48, w=128,
+                                     disp_fn=lambda yy, xx, d=3 + k:
+                                     np.full_like(xx, float(d)))
+                 for k in range(8)]
+        L = jnp.asarray(np.stack([p[0] for p in pairs]))
+        R = jnp.asarray(np.stack([p[1] for p in pairs]))
+        cfg = StereoConfig(max_disp=16)
+        mesh = make_mesh(n_data=8, n_bank=1)
+        Ls = jax.device_put(L, batch_sharding(mesh))
+        Rs = jax.device_put(R, batch_sharding(mesh))
+        d_sh, v_sh = stereo_batch(Ls, Rs, cfg)
+        d_ref, v_ref = stereo_batch(L, R, cfg)
+        assert np.array_equal(np.asarray(d_sh), np.asarray(d_ref))
+        assert np.array_equal(np.asarray(v_sh), np.asarray(v_ref))
+        # and each pair recovered its own disparity level
+        for k in range(8):
+            v = np.asarray(v_sh[k])
+            assert v.mean() > 0.3
+            assert abs(np.median(np.asarray(d_sh[k])[v]) - (3 + k)) < 0.3
+
+
 class TestCLIStereo:
     def test_stereo_command(self, rng, tmp_path, capsys):
         import json
