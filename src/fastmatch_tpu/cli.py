@@ -514,6 +514,67 @@ def cmd_densify(args):
     print(json.dumps(rep))
 
 
+def cmd_vialign(args):
+    """Visual-inertial metric upgrade (sensors/imu.py): align a monocular
+    trajectory npz (vo/reconstruct/slam --out) with IMU sample runs and
+    write the metric, gravity-aligned version."""
+    import jax
+    import jax.numpy as jnp
+    from fastmatch_tpu.sensors.imu import preintegrate, vi_align
+
+    traj = np.load(args.traj)
+    R_wc, t = traj["R"].astype(np.float32), traj["t"].astype(np.float32)
+    F = R_wc.shape[0]
+    imu = np.load(args.imu)
+    gyro, accel, dts = (imu["gyro"].astype(np.float32),
+                        imu["accel"].astype(np.float32),
+                        imu["dt"].astype(np.float32))
+    interval = imu["interval"].astype(np.int64)  # sample -> frame interval i
+    if interval.max() != F - 2:
+        raise ValueError(
+            f"imu intervals cover 0..{interval.max()}, trajectory needs "
+            f"0..{F - 2}")
+    cap = int(np.bincount(interval, minlength=F - 1).max())
+    g_b = np.zeros((F - 1, cap, 3), np.float32)
+    a_b = np.zeros((F - 1, cap, 3), np.float32)
+    d_b = np.zeros((F - 1, cap), np.float32)
+    m_b = np.zeros((F - 1, cap), bool)
+    fill = np.zeros(F - 1, np.int64)
+    for s, i in enumerate(interval):
+        k = fill[i]
+        g_b[i, k], a_b[i, k], d_b[i, k] = gyro[s], accel[s], dts[s]
+        m_b[i, k] = True
+        fill[i] += 1
+    pres = jax.vmap(preintegrate)(jnp.asarray(g_b), jnp.asarray(a_b),
+                                  jnp.asarray(d_b), jnp.asarray(m_b))
+    centers = -np.einsum("fji,fj->fi", R_wc, t)
+    s, g, v, resid = vi_align(
+        jnp.asarray(R_wc.transpose(0, 2, 1)),
+        jnp.asarray(centers.astype(np.float32)), pres, g_mag=args.g)
+    s = float(s)
+    g_np = np.asarray(g, np.float64)
+    a = g_np / np.linalg.norm(g_np)
+    b = np.array([0.0, 0.0, -1.0])
+    vx = np.cross(a, b)
+    c = float(a @ b)
+    if np.linalg.norm(vx) < 1e-12:
+        R_g = np.eye(3) if c > 0 else np.diag([1.0, -1.0, -1.0])
+    else:
+        K = np.array([[0, -vx[2], vx[1]], [vx[2], 0, -vx[0]],
+                      [-vx[1], vx[0], 0]])
+        R_g = np.eye(3) + K + K @ K / (1.0 + c)
+    R_new = np.einsum("fij,kj->fik", R_wc, R_g).astype(np.float32)
+    t_new = (s * t).astype(np.float32)
+    out = {"R": R_new, "t": t_new,
+           "centers": -np.einsum("fji,fj->fi", R_new, t_new)}
+    if "points" in traj.files:
+        out["points"] = (s * (traj["points"] @ R_g.T)).astype(np.float32)
+    np.savez(args.out, **out)
+    print(json.dumps({"scale": round(s, 6),
+                      "gravity": [round(float(x), 4) for x in g_np],
+                      "resid": round(float(resid), 6), "out": args.out}))
+
+
 def _parse_mesh(spec: str) -> dict:
     """'bank=4' / 'data=2,bank=4' -> {'n_data': 2, 'n_bank': 4}."""
     out = {}
@@ -828,6 +889,22 @@ def main(argv=None):
                     help="fusion grid (world units; default depth/200)")
     sp.add_argument("--export-ply", help="output PLY path")
     sp.set_defaults(fn=cmd_densify)
+
+    sp = sub.add_parser(
+        "vialign", help="visual-inertial metric upgrade (sensors/imu.py): "
+        "align a monocular trajectory with IMU runs -> metric, "
+        "gravity-aligned npz")
+    sp.add_argument("--traj", required=True,
+                    help="trajectory .npz (R, t[, points]) from vo/"
+                    "reconstruct/slam --out")
+    sp.add_argument("--imu", required=True,
+                    help=".npz with gyro (N,3), accel (N,3) raw specific "
+                    "force, dt (N,), interval (N,) mapping each sample to "
+                    "frame interval i (frames i -> i+1)")
+    sp.add_argument("--g", type=float, default=9.81,
+                    help="gravity magnitude (m/s^2)")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_vialign)
 
     sp = sub.add_parser("reconstruct")
     sp.add_argument("input", help="image dir or features .npz")
