@@ -426,3 +426,159 @@ def pgo_solve(
         (g.poses.R, g.poses.t, jnp.float32(lam0), cost0, jnp.int32(0), jnp.bool_(False)),
     )
     return PGOResult(poses=SE3(R, t), cost0=cost0, cost=cost, iters=it)
+
+
+def pgo_solve_hierarchical(
+    g: PoseGraph,
+    segment_len: int = 250,
+    coarse_max_iters: int = 40,
+    polish_max_iters: int = 10,
+    pcg_iters: int = 80,
+    huber_delta_static: float | None = None,
+    kernel: str = "huber",
+) -> PGOResult:
+    """Coarse-to-fine LM for LONG chain-backbone graphs (config-5 scale).
+
+    Block-Jacobi PCG moves information ~one edge per inner iteration, so
+    on a 10k-pose odometry chain the loop-closure corrections — pure
+    long-wavelength drift modes — are invisible to ``pgo_solve``'s
+    budgeted inner solves: measured on the 10k circle, 20 LM x 200 PCG
+    drops the cost 36 -> 0.05 while ATE stays at 8.2 of 8.5 (the drift
+    never propagates around the ring). The classical answer is hierarchy
+    (HOG-Man/condensed-graph style), which maps to TPU well:
+
+    1. **Condense the chain**: cumulative odometry products C_k (host
+       f64 bookkeeping — f32 drifts over 10k products) give exact
+       composed measurements between anchors (every ``segment_len``-th
+       pose plus every closure endpoint), and transport closure edges
+       to their anchors: Z'_(a_i, a_j) = D_i^-1 Z_ij D_j with
+       D_k = C_k C_(a_k)^-1.
+    2. **Solve the anchor graph densely** — tens of nodes, one damped
+       Cholesky per LM iteration on the MXU (the regime pgo_solve's
+       dense path is built for). Composed chain edges carry weight
+       w / L (an L-fold composition has ~L-fold variance).
+    3. **Interpolate the correction**: per-anchor left-deltas
+       D_m = T_new T_old^-1, geodesically blended along each segment
+       (vmapped exp/log), applied to every pose.
+    4. **Polish** with the flat matrix-free PCG LM — the remaining
+       error is local, exactly what block-Jacobi PCG is good at.
+
+    Requires a live chain backbone: a (k, k-1) edge for every live k.
+    """
+    import numpy as np
+
+    n = int(np.asarray(g.pose_mask).sum())
+    ei = np.asarray(g.edge_i)
+    ej = np.asarray(g.edge_j)
+    ew = np.asarray(g.edge_weight)
+    live_e = ew > 0
+    chain = live_e & (ei == ej + 1) & (ei < n)
+    chain_of = -np.ones(n, np.int64)
+    chain_of[ei[chain]] = np.where(chain)[0]
+    if n > 1 and (chain_of[1:n] < 0).any():
+        missing = int(np.where(chain_of[1:n] < 0)[0][0]) + 1
+        raise ValueError(
+            f"hierarchical solve needs a full odometry chain; no live "
+            f"(k, k-1) edge for k={missing}")
+    closure = live_e & ~chain & (ei < n) & (ej < n)
+
+    # 1. cumulative odometry C_k = Z_k ... Z_1 (C_0 = I), host f64.
+    ZR = np.asarray(g.Z.R, np.float64)
+    Zt = np.asarray(g.Z.t, np.float64)
+    C_R = np.zeros((n, 3, 3))
+    C_t = np.zeros((n, 3))
+    C_R[0] = np.eye(3)
+    for k in range(1, n):
+        e = chain_of[k]
+        C_R[k] = ZR[e] @ C_R[k - 1]
+        C_t[k] = ZR[e] @ C_t[k - 1] + Zt[e]
+
+    anchors = np.unique(np.concatenate([
+        np.arange(0, n, segment_len), [n - 1],
+        ei[closure], ej[closure]])).astype(np.int64)
+    M = len(anchors)
+    seg_of = np.searchsorted(anchors, np.arange(n), side="right") - 1
+    a_idx = -np.ones(n, np.int64)
+    a_idx[anchors] = np.arange(M)
+
+    def rel(Ra, ta, Rb, tb):
+        """T_a T_b^-1 on (R, t) pairs (f64)."""
+        R = Ra @ Rb.T
+        return R, ta - R @ tb
+
+    cei, cej, cR, ct, cw = [], [], [], [], []
+    w_chain = float(ew[chain].mean()) if chain.any() else 1.0
+    for m in range(1, M):
+        a, b = anchors[m], anchors[m - 1]
+        R, t = rel(C_R[a], C_t[a], C_R[b], C_t[b])
+        cei.append(m)
+        cej.append(m - 1)
+        cR.append(R)
+        ct.append(t)
+        cw.append(w_chain / max(int(a - b), 1))
+    for e in np.where(closure)[0]:
+        i, j = int(ei[e]), int(ej[e])
+        ai, aj = anchors[seg_of[i]], anchors[seg_of[j]]
+        DiR, Dit = rel(C_R[i], C_t[i], C_R[ai], C_t[ai])
+        DjR, Djt = rel(C_R[j], C_t[j], C_R[aj], C_t[aj])
+        R1 = DiR.T @ ZR[e]                 # Z' = Di^-1 Z Dj
+        t1 = DiR.T @ (Zt[e] - Dit)
+        cei.append(int(a_idx[ai]))
+        cej.append(int(a_idx[aj]))
+        cR.append(R1 @ DjR)
+        ct.append(R1 @ Djt + t1)
+        cw.append(float(ew[e]))
+
+    R_old = np.asarray(g.poses.R, np.float64)[:n]
+    t_old = np.asarray(g.poses.t, np.float64)[:n]
+    coarse = PoseGraph(
+        poses=SE3(jnp.asarray(R_old[anchors].astype(np.float32)),
+                  jnp.asarray(t_old[anchors].astype(np.float32))),
+        edge_i=jnp.asarray(np.asarray(cei, np.int32)),
+        edge_j=jnp.asarray(np.asarray(cej, np.int32)),
+        Z=SE3(jnp.asarray(np.stack(cR).astype(np.float32)),
+              jnp.asarray(np.stack(ct).astype(np.float32))),
+        edge_weight=jnp.asarray(np.asarray(cw, np.float32)),
+        pose_mask=jnp.ones(M, bool),
+        fixed=jnp.asarray(np.asarray(g.fixed)[anchors]),
+    )
+    if not bool(np.asarray(coarse.fixed).any()):
+        coarse = coarse._replace(fixed=jnp.asarray(np.arange(M) == 0))
+
+    cost0 = _graph_cost(g.poses, g, huber_delta_static, kernel, None)
+
+    # 2. small dense solve on the anchor graph
+    cres = pgo_solve(coarse, max_iters=coarse_max_iters, solver="dense",
+                     huber_delta_static=huber_delta_static, kernel=kernel)
+
+    # 3. per-anchor left-deltas, geodesically interpolated along segments
+    T_old_a = SE3(jnp.asarray(R_old[anchors].astype(np.float32)),
+                  jnp.asarray(t_old[anchors].astype(np.float32)))
+    D = cres.poses.compose(T_old_a.inverse())          # (M,) SE3
+    seg = jnp.asarray(seg_of)
+    nxt = jnp.minimum(seg + 1, M - 1)
+    a0 = jnp.asarray(anchors)[seg]
+    a1 = jnp.asarray(anchors)[nxt]
+    frac = jnp.where(a1 > a0,
+                     (jnp.arange(n) - a0) / jnp.maximum(a1 - a0, 1), 0.0)
+    R_old32 = jnp.asarray(R_old.astype(np.float32))
+    t_old32 = jnp.asarray(t_old.astype(np.float32))
+
+    def correct(k):
+        Dm = SE3(D.R[seg[k]], D.t[seg[k]])
+        Dn = SE3(D.R[nxt[k]], D.t[nxt[k]])
+        step = Dn.compose(Dm.inverse()).log()
+        delta = SE3.exp(frac[k] * step).compose(Dm)
+        return delta.compose(SE3(R_old32[k], t_old32[k]))
+
+    T_new = jax.vmap(correct)(jnp.arange(n))
+    R_full = jnp.asarray(np.asarray(g.poses.R)).at[:n].set(T_new.R)
+    t_full = jnp.asarray(np.asarray(g.poses.t)).at[:n].set(T_new.t)
+
+    # 4. polish with the flat PCG LM
+    res = pgo_solve(g._replace(poses=SE3(R_full, t_full)),
+                    max_iters=polish_max_iters, solver="pcg",
+                    pcg_iters=pcg_iters,
+                    huber_delta_static=huber_delta_static, kernel=kernel)
+    return PGOResult(poses=res.poses, cost0=cost0, cost=res.cost,
+                     iters=cres.iters + res.iters)
