@@ -65,9 +65,28 @@ DESC_DIM = 128
 MAX_RESIDENT_M = 4096
 
 
+def _unpack_bits(words, scale: float, offset: float):
+    """In-VMEM bit unpack: (R, W) uint32 -> (R, 32*W) bf16 with value
+    ``bit * scale + offset``. Layout-friendly by construction — 8 static
+    word slices each broadcast against a 32-lane shift iota, concatenated
+    along lanes; the XLA-side unpack of the same values materialized
+    big intermediates at a measured ~17 GB/s (3.85 ms/batch), where this
+    is a few VPU passes over data already resident in VMEM."""
+    W = words.shape[-1]
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+    pieces = []
+    for w in range(W):
+        col = words[:, w][:, None]                      # (R, 1) uint32
+        pieces.append((col >> shifts) & jnp.uint32(1))  # (R, 32)
+    bits = jnp.concatenate(pieces, axis=1)              # (R, 32*W)
+    # Mosaic has no uint32->bf16 cast; hop through int32 (0/1 exact).
+    return (bits.astype(jnp.int32).astype(jnp.bfloat16) * jnp.bfloat16(scale)
+            + jnp.bfloat16(offset))
+
+
 def _batch_match_kernel(
-    a_ref,      # (1, N, 128) f32, pre-scaled by -2
-    b_ref,      # (1, M, 128) f32
+    a_ref,      # (1, N, 128) f32, pre-scaled by -2 [binary: (1, N, W) u32]
+    b_ref,      # (1, M, 128) f32                   [binary: (1, M, W) u32]
     b2m_ref,    # (1, M, 1) f32: |b|^2 (+BIG where masked), column layout
     a2m_ref,    # (1, 1, N) f32: |a|^2 (+BIG where masked), row layout
     r2_ref,     # (1, 1) f32 in SMEM: ratio^2
@@ -80,6 +99,7 @@ def _batch_match_kernel(
     m: int,
     fast: bool,
     cross_check: bool,
+    binary: bool = False,
 ):
     n_chunks = n // tile_n
     b2m = b2m_ref[0]            # (M, 1)
@@ -88,6 +108,13 @@ def _batch_match_kernel(
     dn = (((1,), (1,)), ((), ()))
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
+    if binary:
+        # Unpack the bank ONCE per grid step (loop-invariant; ~1 MB of
+        # VMEM at M=2048): bit -> +-1. The query side unpacks per chunk
+        # below with the -2 query prescale FOLDED INTO the value map
+        # (bit -> -/+2, exact in bf16), so d2 = |a|^2+|b|^2-2ab works
+        # unchanged and equals 4*hamming.
+        bmat_bin = _unpack_bits(b_ref[0], 2.0, -1.0)    # (M, 32*W)
 
     def row_chunk(row, r0):
         """(1, N) lane-major row -> its (1, TN) chunk at lane offset r0."""
@@ -110,7 +137,11 @@ def _batch_match_kernel(
         # casting inside this body cost a measured ~0.4 ms/batch of pure VPU
         # sweeps (and made the fast path SLOWER than exact on chip).
         a_blk = a_ref[0, pl.ds(r0, tile_n), :]    # (TN, 128), 8-aligned
-        bmat = b_ref[0]
+        if binary:
+            a_blk = _unpack_bits(a_blk, -4.0, 2.0)    # -2 * (+-1)
+            bmat = bmat_bin
+        else:
+            bmat = b_ref[0]
         a2 = row_chunk(a2row, r0)                 # (1, TN)
         # (M, TN) transposed block of -2 a.b — products and accumulation
         # identical to the anchor's -2*(a@b.T) (see module docstring).
@@ -236,7 +267,8 @@ def _pick_tile_n(n: int, m: int, d: int = DESC_DIM) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cross_check", "fast", "interpret", "const_sq_norm"))
+    static_argnames=("cross_check", "fast", "interpret", "const_sq_norm",
+                     "binary"))
 def match_batch_fused(
     desc_a: Descriptors,
     desc_b: Descriptors,
@@ -245,6 +277,7 @@ def match_batch_fused(
     fast: bool = False,
     interpret: bool = False,
     const_sq_norm: float | None = None,
+    binary: bool = False,
 ) -> Matches:
     """Fused batched matcher. desc_a/desc_b carry a leading batch axis
     (B, C, 128) / (B, C); returns batched Matches. Decision-identical to
@@ -256,12 +289,26 @@ def match_batch_fused(
     norms the XLA prologue otherwise reduces over two (B, C, D) arrays —
     a measured ~2 ms/batch at 64x2048x256). Skips the data-dependent norm
     computation; padded rows still get BIG. The value must be exactly
-    representable in f32 for parity with the data-computed path."""
+    representable in f32 for parity with the data-computed path.
+
+    ``binary=True``: operands are PACKED bit descriptors — ``data`` is
+    (B, C, W) uint32 — unpacked to +-1 bf16 INSIDE the kernel (8 static
+    word slices x 32-lane shifts; the XLA-side unpack of the same values
+    ran at a measured ~17 GB/s). Implies fast bf16 feeds (bit-exact for
+    binaries) and requires ``const_sq_norm`` (== 32 * W); distances come
+    back as 4 * hamming."""
     a = desc_a.data
     b = desc_b.data
     B, n, d = a.shape
     _, m, d2 = b.shape
-    if d != d2 or d % 128 != 0:
+    if binary:
+        if a.dtype != jnp.uint32 or const_sq_norm is None or not fast:
+            raise ValueError("binary=True needs uint32 packed data, "
+                             "const_sq_norm, and fast=True")
+        if d * 32 % 128 != 0:
+            raise ValueError(f"packed width {d} must unpack to a multiple "
+                             "of 128 bits")
+    elif d != d2 or d % 128 != 0:
         raise ValueError(
             f"descriptor dim must match and be a multiple of 128, got {d}/{d2}")
     if m > MAX_RESIDENT_M:
@@ -282,17 +329,22 @@ def match_batch_fused(
     a2m = jnp.where(desc_a.mask, a2, BIG)[:, None, :]          # (B, 1, N)
     b2m = jnp.where(desc_b.mask, b2, BIG)[..., None]           # (B, M, 1)
     r2 = jnp.full((1, 1), jnp.asarray(ratio, jnp.float32) ** 2)
-    tn = _pick_tile_n(n, m, d)
-    # Fast path: cast ONCE here (XLA fuses it into the norm computation)
-    # instead of per-chunk inside the kernel — identical bits, and the bf16
-    # operands also halve the per-pair HBM->VMEM descriptor stream.
-    op_a, op_b = -2.0 * a, b
-    if fast:
-        op_a, op_b = op_a.astype(jnp.bfloat16), op_b.astype(jnp.bfloat16)
+    d_eff = d * 32 if binary else d
+    tn = _pick_tile_n(n, m, d_eff)
+    if binary:
+        op_a, op_b = a, b        # packed; the kernel unpacks (and scales)
+    else:
+        # Fast path: cast ONCE here (XLA fuses it into the norm
+        # computation) instead of per-chunk inside the kernel — identical
+        # bits, and the bf16 operands also halve the per-pair HBM->VMEM
+        # descriptor stream.
+        op_a, op_b = -2.0 * a, b
+        if fast:
+            op_a, op_b = op_a.astype(jnp.bfloat16), op_b.astype(jnp.bfloat16)
 
     kernel = functools.partial(
         _batch_match_kernel, tile_n=tn, n=n, m=m, fast=fast,
-        cross_check=cross_check)
+        cross_check=cross_check, binary=binary)
     idx, dist, valid = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -322,7 +374,7 @@ def match_batch_fused(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * n * m * d,
+            flops=2 * B * n * m * d_eff,
             bytes_accessed=4 * B * (2 * n * d + m * d + 3 * n + m),
             transcendentals=0,
         ),

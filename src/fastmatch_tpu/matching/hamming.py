@@ -160,23 +160,18 @@ def match_batch_hamming(
                                                        match_batch_fused)
 
         if desc_b.packed.shape[-2] <= MAX_RESIDENT_M:
-            # Round-4 fast path: unpack straight to bf16 (+-1 is exact) and
-            # tell the kernel the norms are the CONSTANT n_bits — skipping
-            # the two (B, C, 256) f32 materialize+reduce prologues that
-            # measured ~35% of the whole batched binary match on v5e.
+            # Round-4 fast path: feed the kernel PACKED words — it unpacks
+            # to +-1 bf16 in VMEM (exact) with the constant-norm shortcut
+            # (every live row has |s|^2 == n_bits). The XLA-side unpack +
+            # norm prologue this replaces measured ~35% of the whole
+            # batched binary match on v5e (docs/PERFORMANCE.md).
             nb = desc_a.n_bits
-            a = Descriptors(
-                data=unpack_bits_signed(desc_a.packed, desc_a.mask,
-                                        dtype=jnp.bfloat16),
-                mask=desc_a.mask)
-            b = Descriptors(
-                data=unpack_bits_signed(desc_b.packed, desc_b.mask,
-                                        dtype=jnp.bfloat16),
-                mask=desc_b.mask)
-            m = match_batch_fused(a, b, ratio=_ratio_sqrt(ratio),
-                                  cross_check=cross_check, fast=True,
-                                  interpret=jax.default_backend() == "cpu",
-                                  const_sq_norm=float(nb))
+            m = match_batch_fused(
+                Descriptors(data=desc_a.packed, mask=desc_a.mask),
+                Descriptors(data=desc_b.packed, mask=desc_b.mask),
+                ratio=_ratio_sqrt(ratio), cross_check=cross_check,
+                fast=True, interpret=jax.default_backend() == "cpu",
+                const_sq_norm=float(nb), binary=True)
         else:
             from fastmatch_tpu.matching.matcher import match_pair as _mp
             a, b = _as_signed(desc_a), _as_signed(desc_b)
