@@ -109,6 +109,21 @@ def bench_pgo_10k(n, rng):
           f"(cost {float(res.cost0):.2e} -> {float(res.cost):.2e}; "
           f"first compile {compile_s:.0f}s)", flush=True)
 
+    # Hierarchical (condensed-graph) solve: the drift-capable config-5
+    # solver (posegraph/pgo.py:pgo_solve_hierarchical) — flat PCG's LM
+    # iters/s above measure throughput, this measures the WHOLE
+    # coarse+interpolate+polish wall-clock at 10k poses.
+    from fastmatch_tpu.posegraph.pgo import pgo_solve_hierarchical
+
+    hres = pgo_solve_hierarchical(g)         # warm compiles
+    np.asarray(hres.poses.R[:1])
+    t0 = time.perf_counter()
+    hres = pgo_solve_hierarchical(g)
+    np.asarray(hres.poses.R[:1])
+    print(f"PGO {n} hierarchical solve: {time.perf_counter() - t0:.2f}s "
+          f"(cost {float(hres.cost0):.2e} -> {float(hres.cost):.2e})",
+          flush=True)
+
 
 def bench_retrieval_city(n_kf, per_kf, rng):
     import jax
