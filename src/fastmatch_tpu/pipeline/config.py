@@ -70,6 +70,10 @@ class MapConfig:
     max_points: int = 8192
     max_obs: int = 65536
     min_parallax_deg: float = 1.0
+    # Landmark-descriptor width: 128 for SIFT; 256 for the ORB family fed
+    # through the float pipeline as +-1/16 unit-norm vectors (d2 then
+    # equals hamming/64, so every SIFT-scaled threshold below applies).
+    desc_dim: int = 128
     # New-landmark dedup: a keypoint whose nearest map descriptor is closer
     # than this squared-L2 distance is a re-observation, not a new landmark.
     # The ratio test CANNOT do this job: once two copies of a landmark are

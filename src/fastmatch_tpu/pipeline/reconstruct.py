@@ -50,7 +50,7 @@ class Reconstruction:
     pose_mask: np.ndarray = None  # (F_cap,)
     points: np.ndarray = None     # (P_cap, 3)
     pt_mask: np.ndarray = None
-    pt_desc: np.ndarray = None    # (P_cap, 128) landmark descriptor bank
+    pt_desc: np.ndarray = None    # (P_cap, desc_dim) landmark descriptor bank
     obs_cam: np.ndarray = None
     obs_pt: np.ndarray = None
     obs_uv: np.ndarray = None
@@ -67,7 +67,7 @@ class Reconstruction:
         self.pose_mask = np.zeros(m.max_frames, bool)
         self.points = np.zeros((m.max_points, 3), np.float32)
         self.pt_mask = np.zeros(m.max_points, bool)
-        self.pt_desc = np.zeros((m.max_points, 128), np.float32)
+        self.pt_desc = np.zeros((m.max_points, m.desc_dim), np.float32)
         self.obs_cam = np.zeros(m.max_obs, np.int32)
         self.obs_pt = np.zeros(m.max_obs, np.int32)
         self.obs_uv = np.zeros((m.max_obs, 2), np.float32)

@@ -154,7 +154,8 @@ def visual_odometry(images, camera: Pinhole,
             s, pts = s[ok], pts[ok]
             if len(s) == 0:
                 continue
-            ids = rec.add_points(pts, np.zeros((len(s), 128), np.float32))
+            ids = rec.add_points(
+                pts, np.zeros((len(s), rec.pt_desc.shape[1]), np.float32))
             lid[s] = ids
             rec.add_observations(
                 int(f0), ids, _normalize(first_pos[s], camera))
