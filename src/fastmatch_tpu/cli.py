@@ -709,14 +709,43 @@ def _write_tum(path, rec):
                      f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
 
 
+def _load_traj(path: str) -> np.ndarray:
+    """(N, 3) camera centers from an --out npz (``centers``) or a
+    TUM-format text trajectory."""
+    if path.endswith(".npz"):
+        return np.load(path)["centers"]
+    from fastmatch_tpu.datasets import load_tum_trajectory
+
+    return load_tum_trajectory(path)[1]
+
+
 def cmd_evaluate(args):
+    cfg = _load_config(args)
+    if args.dataset == "traj":
+        # Trajectory evaluation: ATE (sim3-aligned absolute error) + RPE
+        # (per-step drift) of an estimated trajectory vs ground truth.
+        import jax.numpy as jnp
+        from fastmatch_tpu.utils.evaluation import ate_rmse, rpe_trans
+
+        est = _load_traj(args.est)
+        gt = _load_traj(args.gt)
+        if len(est) != len(gt):
+            raise ValueError(f"length mismatch: est {len(est)} vs gt "
+                             f"{len(gt)} frames (trajectories must be "
+                             "frame-aligned)")
+        ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+        rpe_rmse, rpe_med = rpe_trans(jnp.asarray(est), jnp.asarray(gt),
+                                      delta=args.rpe_delta)
+        print(json.dumps({"n_frames": int(len(est)), "ate_rmse": ate,
+                          "rpe_rmse": float(rpe_rmse),
+                          "rpe_median": float(rpe_med),
+                          "rpe_delta": args.rpe_delta}))
+        return
     from fastmatch_tpu.datasets import (
+        evaluate_pairs,
         load_vgg_dataset,
         synthesize_warped_pair,
     )
-    from fastmatch_tpu.datasets import evaluate_pairs
-
-    cfg = _load_config(args)
     if args.dataset == "synth":
         pairs = [synthesize_warped_pair(seed) for seed in range(args.n_synth)]
     else:
@@ -1003,7 +1032,8 @@ def main(argv=None):
     sp = sub.add_parser("evaluate")
     sp.add_argument(
         "dataset",
-        help="Oxford-VGG sequence dir (img1..imgN + H1to*p) or 'synth'",
+        help="Oxford-VGG sequence dir (img1..imgN + H1to*p), 'synth', or "
+        "'traj' (trajectory ATE/RPE vs ground truth: --est/--gt)",
     )
     sp.add_argument("--n-synth", type=int, default=3)
     sp.add_argument("--tol", type=float, default=3.0)
@@ -1011,6 +1041,12 @@ def main(argv=None):
     sp.add_argument("--plot-dir",
                     help="render per-pair match figures + a summary "
                     "precision/recall chart here (utils/viz.py)")
+    sp.add_argument("--est", help="traj mode: estimated trajectory "
+                    "(--out .npz with 'centers', or TUM text)")
+    sp.add_argument("--gt", help="traj mode: ground-truth trajectory "
+                    "(same formats)")
+    sp.add_argument("--rpe-delta", type=int, default=1,
+                    help="traj mode: RPE frame distance")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("bench")

@@ -51,6 +51,23 @@ def align_umeyama(X: jnp.ndarray, Y: jnp.ndarray, mask=None, with_scale: bool = 
     return s, R, t
 
 
+def rpe_trans(est_centers: jnp.ndarray, gt_centers: jnp.ndarray,
+              delta: int = 1):
+    """Translational relative-pose error at frame distance ``delta``.
+
+    Trajectories are sim(3)-aligned first (monocular gauge), then the
+    per-step displacement vectors are compared:
+    e_i = ||(c[i+d] - c[i]) - (g[i+d] - g[i])||. Returns (rmse, median) —
+    the drift-rate metric complementing ate_rmse's absolute error.
+    """
+    s, R, t = align_umeyama(est_centers, gt_centers)
+    a = s * est_centers @ R.T + t
+    da = a[delta:] - a[:-delta]
+    dg = gt_centers[delta:] - gt_centers[:-delta]
+    err = jnp.linalg.norm(da - dg, axis=-1)
+    return (jnp.sqrt(jnp.mean(err ** 2)), jnp.median(err))
+
+
 def ate_rmse(est_centers: jnp.ndarray, gt_centers: jnp.ndarray, mask=None):
     """RMSE of camera centers after sim(3) alignment. (N, 3) each."""
     s, R, t = align_umeyama(est_centers, gt_centers, mask)

@@ -168,3 +168,43 @@ class TestResizeHandling:
         assert np.isclose(
             float(match_agreement(idx, valid, idx, valid_b, mask=mask)), 0.5
         )
+
+
+class TestTrajectoryEvaluation:
+    def test_rpe_trans_gauge_invariance(self, rng):
+        from fastmatch_tpu.utils.evaluation import rpe_trans
+        import jax.numpy as jnp
+
+        gt = np.cumsum(rng.normal(0, 0.3, (50, 3)), axis=0).astype(np.float32)
+        # similarity-transformed copy: ATE and RPE must both be ~0
+        th = 0.7
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        est = (2.5 * gt @ R.T + np.array([3.0, -1.0, 2.0])).astype(np.float32)
+        rmse, med = rpe_trans(jnp.asarray(est), jnp.asarray(gt))
+        assert float(rmse) < 1e-4
+        # local noise raises RPE but only slightly moves its median
+        est2 = est + rng.normal(0, 0.01, est.shape).astype(np.float32) * 2.5
+        rmse2, _ = rpe_trans(jnp.asarray(est2), jnp.asarray(gt))
+        assert float(rmse2) > float(rmse)
+
+    def test_cli_evaluate_traj(self, rng, tmp_path, capsys):
+        import json
+        from fastmatch_tpu.cli import main
+
+        gt = np.cumsum(rng.normal(0, 0.3, (40, 3)), axis=0).astype(np.float32)
+        est = 1.7 * gt + np.array([1.0, 2.0, 3.0], np.float32)
+        est += rng.normal(0, 0.02, est.shape).astype(np.float32)
+        np.savez(tmp_path / "est.npz", centers=est)
+        # GT as a TUM file (identity quaternions)
+        lines = ["# ts tx ty tz qx qy qz qw"]
+        for i, c in enumerate(gt):
+            lines.append(f"{i} {c[0]} {c[1]} {c[2]} 0 0 0 1")
+        (tmp_path / "gt.txt").write_text("\n".join(lines))
+        main(["evaluate", "traj", "--est", str(tmp_path / "est.npz"),
+              "--gt", str(tmp_path / "gt.txt"), "--rpe-delta", "2"])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["n_frames"] == 40
+        assert rep["ate_rmse"] < 0.05
+        assert rep["rpe_rmse"] < 0.1
+        assert rep["rpe_delta"] == 2
