@@ -203,8 +203,6 @@ def vi_align(R_wb: jnp.ndarray, p_cam: jnp.ndarray, pres: ImuPreintegration,
     F = p_cam.shape[0]
     dts = pres.dt                        # (F-1,)
     n_unk = 1 + 3 + 3 * F                # s, g, v_0..v_{F-1}
-    rows = []
-    rhs = []
     I3 = jnp.eye(3)
 
     def vcol(i):
