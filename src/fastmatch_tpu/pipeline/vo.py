@@ -135,17 +135,24 @@ def visual_odometry(images, camera: Pinhole,
         sel = sel[par > vo.min_parallax_px]
         if len(sel) == 0:
             return 0
-        # group by first_frame: one (2, P, 2) DLT per origin frame
+        # group by first_frame: one (2, P, 2) DLT per origin frame. The
+        # point count is BUCKET-padded (power-of-two + mask): raw sizes
+        # hand XLA a fresh shape per call, and through the TPU relay each
+        # fresh shape is a multi-second compile — measured 0.1 frames/s
+        # end-to-end on chip before bucketing vs ~ms of actual DLT work.
         added = 0
         for f0 in np.unique(first_frame[sel]):
             s = sel[first_frame[sel] == f0]
             R2 = jnp.asarray(np.stack([rec.R[f0], rec.R[f]]))
             t2 = jnp.asarray(np.stack([rec.t[f0], rec.t[f]]))
-            x2 = jnp.asarray(np.stack([
-                _normalize(first_pos[s], camera),
-                _normalize(pos[s], camera)]).astype(np.float32))
-            pts, ok = triangulate_dlt(R2, t2, x2)
-            pts, ok = np.array(pts), np.array(ok)  # writable host copies
+            xa, xb, pmask = _pad_for_ransac(
+                [_normalize(first_pos[s], camera).astype(np.float32),
+                 _normalize(pos[s], camera).astype(np.float32)], len(s))
+            x2 = jnp.asarray(np.stack([xa, xb]))
+            vis2 = jnp.asarray(np.stack([pmask, pmask]))
+            pts, ok = triangulate_dlt(R2, t2, x2, vis2)
+            pts = np.array(pts)[: len(s)]
+            ok = np.array(ok)[: len(s)]  # writable live-prefix copies
             # cheirality in both views
             for Rf, tf in ((rec.R[f0], rec.t[f0]), (rec.R[f], rec.t[f])):
                 ok &= (pts @ Rf.T + tf)[:, 2] > 1e-3
