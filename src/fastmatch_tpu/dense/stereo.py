@@ -230,6 +230,12 @@ def rectify_pair(img_a: jnp.ndarray, img_b: jnp.ndarray, K: np.ndarray,
     x axis points along the baseline (Fusiello's method: one shared
     rotation per camera, no shear). The bilinear resample is this
     module's single gather — coherent, one-time, outside the sweep.
+
+    Raises ValueError when the baseline is (near-)parallel to camera a's
+    optical axis: forward motion puts the epipole inside the image, no
+    rectifying rotation exists (the warp would swing the view ~90 deg off
+    axis), and the old fixed-ez cross product emitted NaN. densify()
+    treats ValueError as "skip this pair".
     """
     K = np.asarray(K, np.float64)
     R_ab = np.asarray(R_ab, np.float64)
@@ -244,6 +250,12 @@ def rectify_pair(img_a: jnp.ndarray, img_b: jnp.ndarray, K: np.ndarray,
     # disparities, regardless of how the pair is oriented in the world.
     ex = c_b / baseline
     ez0 = np.array([0.0, 0.0, 1.0])
+    if abs(float(ex @ ez0)) > 0.99:
+        raise ValueError(
+            "rectification is degenerate: baseline is (near-)parallel to "
+            f"the optical axis (|ex.ez| = {abs(float(ex @ ez0)):.3f} > 0.99); "
+            "forward-motion pairs cannot be rectified into a horizontal-"
+            "disparity stereo pair")
     ey = np.cross(ez0, ex)
     ey /= np.linalg.norm(ey)
     ez = np.cross(ex, ey)

@@ -210,7 +210,7 @@ def track(prev_img: jnp.ndarray, next_img: jnp.ndarray, pts: jnp.ndarray,
                           build_pyramid(next_img, cfg), pts, mask, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "win"))
+@functools.partial(jax.jit, static_argnames=("capacity", "win", "min_dist"))
 def shi_tomasi(img: jnp.ndarray, capacity: int = 1024, win: int = 5,
                min_dist: int = 3) -> Keypoints:
     """Good-features-to-track: min-eig of the structure tensor, NMS, top-k.

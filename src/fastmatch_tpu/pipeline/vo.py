@@ -218,10 +218,20 @@ def visual_odometry(images, camera: Pinhole,
                     booted = True
                     triangulate_new(f)
                     add_kf_observations(f)
-                    # retroactive poses for the skipped frames
+                    # retroactive poses for the skipped frames; a frame
+                    # whose retroactive PnP fails gets the same flagged
+                    # constant-position fallback as the main loop (the
+                    # previous frame is always posed by induction from
+                    # frame 0), keeping the no-identity-pose-holes
+                    # invariant of the module docstring.
                     for fi in range(1, f):
                         p_h, a_h = history[fi]
-                        pnp_frame(fi, p_h, a_h)
+                        ok_r, _ = pnp_frame(fi, p_h, a_h)
+                        if not ok_r:
+                            rec.R[fi] = rec.R[fi - 1]
+                            rec.t[fi] = rec.t[fi - 1]
+                            rec.pose_mask[fi] = True
+                            stats[fi]["pnp_failed"] = True
                     kf_pos[:] = pos
                     n_kfs = 2
                     fstat.update(kf=True, booted=True,

@@ -59,7 +59,16 @@ def rpe_trans(est_centers: jnp.ndarray, gt_centers: jnp.ndarray,
     per-step displacement vectors are compared:
     e_i = ||(c[i+d] - c[i]) - (g[i+d] - g[i])||. Returns (rmse, median) —
     the drift-rate metric complementing ate_rmse's absolute error.
+
+    Raises ValueError unless 0 < delta < len(est_centers): outside that
+    range the [delta:] slices are empty and the statistics would be NaN
+    (which the CLI would then print as non-standard JSON).
     """
+    n = int(est_centers.shape[0])
+    if not 0 < delta < n:
+        raise ValueError(
+            f"rpe delta must be in [1, {n - 1}] for a {n}-frame "
+            f"trajectory; got {delta}")
     s, R, t = align_umeyama(est_centers, gt_centers)
     a = s * est_centers @ R.T + t
     da = a[delta:] - a[:-delta]

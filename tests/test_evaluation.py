@@ -188,6 +188,21 @@ class TestTrajectoryEvaluation:
         rmse2, _ = rpe_trans(jnp.asarray(est2), jnp.asarray(gt))
         assert float(rmse2) > float(rmse)
 
+    def test_rpe_delta_validated(self, rng):
+        """delta outside [1, n-1] used to yield NaN statistics (empty
+        slices) that the CLI printed as non-standard JSON (ADVICE r4)."""
+        from fastmatch_tpu.utils.evaluation import rpe_trans
+        import jax.numpy as jnp
+
+        gt = np.cumsum(rng.normal(0, 0.3, (10, 3)), axis=0).astype(np.float32)
+        est = jnp.asarray(gt + 0.01)
+        gtj = jnp.asarray(gt)
+        for bad in (0, -1, 10, 11):
+            with pytest.raises(ValueError, match="rpe delta"):
+                rpe_trans(est, gtj, delta=bad)
+        rmse, med = rpe_trans(est, gtj, delta=9)   # boundary is fine
+        assert np.isfinite(float(rmse)) and np.isfinite(float(med))
+
     def test_cli_evaluate_traj(self, rng, tmp_path, capsys):
         import json
         from fastmatch_tpu.cli import main

@@ -176,6 +176,19 @@ class TestShiTomasi:
                   & (xy[:, 1] > 50) & (xy[:, 1] < 80))
         assert not inside.any()
 
+    def test_min_dist_is_usable(self, rng):
+        """min_dist feeds the static NMS window size, so it must be a
+        static argname — a non-default value used to raise
+        TracerArrayConversionError at trace time (ADVICE r4)."""
+        img = cosine_texture(rng, 128, 160)()
+        kps = shi_tomasi(jnp.asarray(img), capacity=64, min_dist=5)
+        xy = np.asarray(kps.xy)[np.asarray(kps.mask)]
+        assert len(xy) > 8
+        # NMS with radius 5: detections are strictly separated
+        d = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        assert d.min() > 5.0
+
     def test_cv2_goodfeatures_overlap(self, rng):
         cv2 = pytest.importorskip("cv2")
         from synth import render_blob_image

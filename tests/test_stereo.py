@@ -199,6 +199,25 @@ class TestRectify:
         interior = np.s_[10:-10, 10:-10]
         assert np.abs(np.asarray(ra)[interior] - left[interior]).max() < 1e-3
 
+    def test_forward_motion_raises(self, rng):
+        """A baseline (near-)parallel to the optical axis cannot be
+        rectified; the old code emitted NaN into both warps (ADVICE r4).
+        densify() treats the ValueError as 'skip this pair'."""
+        K = np.array([[300.0, 0, 120], [0, 300.0, 60], [0, 0, 1]])
+        img = jnp.zeros((120, 240))
+        with pytest.raises(ValueError, match="parallel to"):
+            rectify_pair(img, img, K, np.eye(3),
+                         np.array([0.0, 0.0, -0.5]))  # pure forward
+        # slightly off-axis but still >0.99 aligned: also degenerate
+        t = np.array([0.05, 0.0, -1.0])
+        with pytest.raises(ValueError, match="parallel to"):
+            rectify_pair(img, img, K, np.eye(3), t)
+        # clearly oblique: fine, and NaN-free
+        ra, rb, _ = rectify_pair(img + 0.5, img + 0.5, K, np.eye(3),
+                                 np.array([-0.4, 0.0, -0.4]))
+        assert np.isfinite(np.asarray(ra)).all()
+        assert np.isfinite(np.asarray(rb)).all()
+
     def test_synthetic_scene_epipolar(self, rng):
         """After rectification, true correspondences share a scan line."""
         from synth import SyntheticScene

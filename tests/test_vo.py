@@ -66,6 +66,29 @@ class TestVisualOdometry:
         assert np.load(out)["centers"].shape == (12, 3)
         assert len(kitti.read_text().splitlines()) == 12
 
+    def test_retroactive_pnp_failure_falls_back(self, vo_scene, monkeypatch):
+        """If PnP fails for a pre-bootstrap frame, it must get the same
+        flagged constant-position fallback as the main loop — not a
+        silent identity-pose hole (ADVICE r4). Force every PnP to fail;
+        every frame must still end up posed and flagged."""
+        import types
+        import fastmatch_tpu.pipeline.vo as vo_mod
+
+        scene, views = vo_scene
+        cam = Pinhole.from_K(scene.K)
+        monkeypatch.setattr(
+            vo_mod, "ransac_pnp",
+            lambda *a, **k: types.SimpleNamespace(ok=False, n_inliers=0))
+        vo = VOConfig(capacity=512, bootstrap_px=8.0, kf_px=6.0,
+                      min_parallax_px=4.0)
+        rec = visual_odometry(views[:10], cam, small_cfg(), vo)
+        assert rec.n_frames == 10
+        assert rec.pose_mask[:10].all()      # no identity-pose holes
+        boot_f = next(s["frame"] for s in rec.frame_stats if s.get("booted"))
+        for s in rec.frame_stats:
+            if s["frame"] not in (0, boot_f):
+                assert s.get("pnp_failed"), s
+
     def test_recovers_through_brief_occlusion(self, vo_scene):
         """Blank out two frames mid-sequence: tracking dies there, the
         constant-position fallback holds, and later keyframes replenish."""
