@@ -1,10 +1,14 @@
-"""KLT visual-odometry engine throughput on chip (pipeline/vo.py).
+"""KLT visual-odometry engine throughput on chip.
 
-Host-driven loop (like slam_device): per frame one pyramid build, one
-KLT track, one bucketed PnP dispatch + small readbacks; keyframes add
-triangulation/BA. Steady-state fps is therefore bounded by the relay's
-per-dispatch latency on this container, not device work — report both
-the wall fps and the frame-stat breakdown.
+Two engines over the same rendered VGA sequence:
+
+- host (pipeline/vo.py): per frame one pyramid build, one KLT track, one
+  bucketed PnP dispatch + small readbacks; keyframes add
+  triangulation/BA. Steady-state fps is bounded by the relay's
+  per-dispatch latency on this container, not device work.
+- scan (pipeline/vo_scan.py): host bootstrap, then the whole remaining
+  sequence as ONE lax.scan dispatch (keyframe work and interval BA under
+  lax.cond) + one final BA + one readback.
 """
 
 import os
@@ -41,24 +45,52 @@ def main():
                                        max_obs=65536))
     vo = VOConfig(capacity=512, bootstrap_px=8.0, kf_px=6.0,
                   min_parallax_px=4.0)
-    # cold run (includes every compile), then the steady-state run over
-    # the same sequence (all shapes cached)
-    t0 = time.perf_counter()
-    visual_odometry(views, cam, cfg, vo)
-    cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rec = visual_odometry(views, cam, cfg, vo)
-    dt = time.perf_counter() - t0
-    print(f"cold (with compiles): {cold:.2f}s ({len(views)/cold:.1f} fps)",
-          flush=True)
+    from fastmatch_tpu.pipeline.vo_scan import visual_odometry_scan
+
     F = len(views)
-    est = rec.camera_centers()
     gt = -np.einsum("fji,fj->fi", scene.R, scene.t)
-    ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
-    n_kf = sum(1 for s in rec.frame_stats if s.get("kf"))
-    print(f"VO {F} frames VGA, 512 tracks: {dt:.2f}s ({F/dt:.1f} frames/s) "
-          f"ATE {ate:.4f}, {n_kf} keyframes, {int(rec.pt_mask.sum())} points,"
-          f" {rec.n_obs} obs", flush=True)
+    for name, engine in (("host", visual_odometry),
+                         ("scan", visual_odometry_scan)):
+        # cold run (includes every compile), then the steady-state run
+        # over the same sequence (all shapes cached)
+        t0 = time.perf_counter()
+        engine(views, cam, cfg, vo)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rec = engine(views, cam, cfg, vo)
+        dt = time.perf_counter() - t0
+        print(f"[{name}] cold (with compiles): {cold:.2f}s "
+              f"({F/cold:.1f} fps)", flush=True)
+        est = rec.camera_centers()
+        ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+        n_kf = sum(1 for s in rec.frame_stats if s.get("kf"))
+        print(f"[{name}] VO {F} frames VGA, 512 tracks: {dt:.2f}s "
+              f"({F/dt:.1f} frames/s) ATE {ate:.4f}, {n_kf} keyframes, "
+              f"{int(rec.pt_mask.sum())} points, {rec.n_obs} obs",
+              flush=True)
+
+    # Longer sequence, scan engine only: the scan's cost is ~2.7 s fixed
+    # (bootstrap dispatches + final BA + readback) + ~7 ms/frame of device
+    # work, so throughput keeps rising with sequence length.
+    scene2 = SyntheticScene(rng, n_points=260, n_frames=100,
+                            image_size=(640, 480))
+    views2 = [np.asarray(v, np.float32)
+              for v in render_scene_views(scene2, rng,
+                                          image_size=(640, 480))]
+    gt2 = -np.einsum("fji,fj->fi", scene2.R, scene2.t)
+    cam2 = Pinhole.from_K(scene2.K)
+    cfg2 = PipelineConfig(ba=BAConfig(max_iters=8, pcg_iters=25),
+                          map=MapConfig(max_frames=128, max_points=8192,
+                                        max_obs=65536))
+    visual_odometry_scan(views2, cam2, cfg2, vo)  # warm the 100-frame shapes
+    t0 = time.perf_counter()
+    rec = visual_odometry_scan(views2, cam2, cfg2, vo)
+    dt = time.perf_counter() - t0
+    ate = float(ate_rmse(jnp.asarray(rec.camera_centers()),
+                         jnp.asarray(gt2)))
+    print(f"[scan] VO {len(views2)} frames VGA: {dt:.2f}s "
+          f"({len(views2)/dt:.1f} frames/s) ATE {ate:.4f}, "
+          f"{int(rec.pt_mask.sum())} points", flush=True)
 
 
 if __name__ == "__main__":

@@ -463,7 +463,14 @@ def cmd_vo(args):
             for _, img in fl:
                 yield img
 
-    rec = visual_odometry(frames(), cam, cfg, vo, metrics=metrics)
+    if args.engine == "scan":
+        # Scan mode needs the full stack up front (one device upload).
+        from fastmatch_tpu.pipeline.vo_scan import visual_odometry_scan
+
+        rec = visual_odometry_scan(list(frames()), cam, cfg, vo,
+                                   metrics=metrics)
+    else:
+        rec = visual_odometry(frames(), cam, cfg, vo, metrics=metrics)
     if metrics:
         metrics.close()
     centers = rec.camera_centers()
@@ -899,6 +906,10 @@ def main(argv=None):
     sp.add_argument("--levels", type=int, default=3, help="KLT pyramid levels")
     sp.add_argument("--bootstrap-px", type=float, default=20.0)
     sp.add_argument("--kf-px", type=float, default=12.0)
+    sp.add_argument("--engine", choices=("host", "scan"), default="host",
+                    help="host: per-frame driver loop; scan: the whole "
+                    "post-bootstrap sequence as ONE compiled lax.scan "
+                    "(pipeline/vo_scan.py)")
     sp.add_argument("--out", help="trajectory/points .npz")
     sp.add_argument("--metrics", help="JSONL metrics path")
     _add_export_args(sp)
