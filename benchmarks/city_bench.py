@@ -125,22 +125,20 @@ def bench_pgo_10k(n, rng):
           flush=True)
 
 
-def bench_retrieval_city(n_kf, per_kf, rng):
-    import jax
-    import jax.numpy as jnp
-    from fastmatch_tpu.core.containers import Descriptors
-    from fastmatch_tpu.matching.ann import build_index_sorted, match_pair_ann_big
-    from fastmatch_tpu.matching.matcher import match_pair
+def _make_city(n_kf, per_kf, rng):
+    """Synthetic city bank with loop-closure structure.
 
+    City structure: the codebook scales with M (~16 rows/word — with a
+    fixed small codebook 4M rows pack so densely that d2 -> d1 and the
+    Lowe ratio test correctly rejects nearly every query), and keyframe k
+    draws its words from a sliding window of the codebook (spatial
+    locality: consecutive keyframes co-observe words, distant ones
+    don't) — the structure a loop-closure query exploits.
+
+    Returns (bank_np (M, 128) grouped per keyframe, query (2048, 128),
+    qmask, j) where the query re-observes keyframes j..j+2 (a REVISIT of
+    one place — visually coherent, like a real loop-closure query)."""
     M = n_kf * per_kf
-    print(f"bank: {n_kf} kf x {per_kf} desc = {M:,} rows "
-          f"({M * 128 * 4 / 2**30:.1f} GiB f32)", flush=True)
-    # City structure: the codebook scales with M (~16 rows/word — with a
-    # fixed small codebook 4M rows pack so densely that d2 -> d1 and the
-    # Lowe ratio test correctly rejects nearly every query), and keyframe k
-    # draws its words from a sliding window of the codebook (spatial
-    # locality: consecutive keyframes co-observe words, distant ones
-    # don't) — the structure a loop-closure query exploits.
     n_words = max(4096, M // 16)
     wpk = n_words // n_kf  # fresh words per keyframe
     words = np.abs(rng.standard_normal((n_words, 128))).astype(np.float32)
@@ -158,11 +156,7 @@ def bench_retrieval_city(n_kf, per_kf, rng):
         d /= np.linalg.norm(d, axis=1, keepdims=True)
         chunks.append(d)
     bank_np = np.concatenate(chunks)
-    bank = Descriptors(jnp.asarray(bank_np), jnp.ones(M, bool))
 
-    # Query frame: a REVISIT of one place — re-observes the rows of three
-    # consecutive keyframes (visually coherent, like a real loop-closure
-    # query; 2048-slot frame capacity, per-row masked).
     j = int(rng.integers(0, n_kf - 3))
     src = np.arange(j * per_kf, (j + 3) * per_kf)
     rng.shuffle(src)
@@ -174,6 +168,21 @@ def bench_retrieval_city(n_kf, per_kf, rng):
     q[:nq] /= np.linalg.norm(q[:nq], axis=1, keepdims=True)
     qmask = np.zeros(2048, bool)
     qmask[:nq] = True
+    return bank_np, q, qmask, j
+
+
+def bench_retrieval_city(n_kf, per_kf, rng):
+    import jax
+    import jax.numpy as jnp
+    from fastmatch_tpu.core.containers import Descriptors
+    from fastmatch_tpu.matching.ann import build_index_sorted, match_pair_ann_big
+    from fastmatch_tpu.matching.matcher import match_pair
+
+    M = n_kf * per_kf
+    print(f"bank: {n_kf} kf x {per_kf} desc = {M:,} rows "
+          f"({M * 128 * 4 / 2**30:.1f} GiB f32)", flush=True)
+    bank_np, q, qmask, _ = _make_city(n_kf, per_kf, rng)
+    bank = Descriptors(jnp.asarray(bank_np), jnp.ones(M, bool))
     qd = Descriptors(jnp.asarray(q), jnp.asarray(qmask))
 
     t0 = time.perf_counter()
@@ -209,6 +218,66 @@ def bench_retrieval_city(n_kf, per_kf, rng):
           flush=True)
 
 
+def bench_vlad_city(n_kf, per_kf, rng):
+    """Frame-granular place recognition over the same city: VLAD DB build
+    (one-time) + per-query retrieval cost vs the descriptor-level legs."""
+    import jax
+    import jax.numpy as jnp
+    from fastmatch_tpu.matching.vlad import (
+        retrieve, train_vocabulary, vlad_encode, vlad_encode_batch)
+
+    bank_np, q, qmask, j = _make_city(n_kf, per_kf, rng)
+    n_words = 128
+    sample = bank_np[rng.choice(bank_np.shape[0], 16384, replace=False)]
+    t0 = time.perf_counter()
+    vocab = train_vocabulary(jax.random.PRNGKey(0), jnp.asarray(sample),
+                             jnp.ones(sample.shape[0], bool),
+                             n_words=n_words)
+    jax.block_until_ready(vocab.words)
+    t_vocab = time.perf_counter() - t0
+
+    frames = bank_np.reshape(n_kf, per_kf, 128)
+    fmask = jnp.ones((512, per_kf), bool)
+    t0 = time.perf_counter()
+    vlads = []
+    for k0 in range(0, n_kf, 512):
+        chunk = frames[k0 : k0 + 512]
+        pad = 512 - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, per_kf, 128),
+                                                    np.float32)])
+        vlads.append(vlad_encode_batch(jnp.asarray(chunk), fmask, vocab))
+    db = jnp.concatenate(vlads)[:n_kf]
+    jax.block_until_ready(db)
+    t_enc = time.perf_counter() - t0
+    db_mask = jnp.ones(n_kf, bool)
+
+    # Query tensors live on device up front — in the product the query
+    # frame's descriptors come from the on-device detector; re-uploading
+    # per call would time the host->device relay, not retrieval.
+    qj, qmj = jnp.asarray(q), jnp.asarray(qmask)
+
+    def query():
+        v = vlad_encode(qj, qmj, vocab)
+        return retrieve(v[None], db, db_mask, topk=8)
+
+    s, ids = query()
+    jax.block_until_ready(ids)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        s, ids = query()
+    jax.block_until_ready(ids)
+    t_q = (time.perf_counter() - t0) / 20
+    top = set(np.asarray(ids)[0].tolist())
+    hit = len(top & {j, j + 1, j + 2}) > 0
+    print(f"VLAD place recognition: vocab({n_words}w/16k rows) {t_vocab:.2f}s"
+          f" one-time, DB encode {n_kf} kf in {t_enc:.2f}s "
+          f"({n_kf / t_enc:.0f} kf/s), query {t_q * 1e3:.2f} ms "
+          f"(encode + (1,{n_words * 128}) x ({n_words * 128},{n_kf}) matmul"
+          f" + top-8), revisit hit={hit} (true kf {j}..{j + 2}, "
+          f"top-8 {sorted(top)[:8]})", flush=True)
+
+
 def main():
     n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     per_kf = int(sys.argv[2]) if len(sys.argv) > 2 else 400
@@ -220,6 +289,8 @@ def main():
         bench_pgo_10k(n_kf, rng)
     if leg in ("all", "retrieval"):
         bench_retrieval_city(n_kf, per_kf, rng)
+    if leg in ("all", "vlad"):
+        bench_vlad_city(n_kf, per_kf, rng)
 
 
 if __name__ == "__main__":

@@ -773,16 +773,33 @@ def cmd_locate(args):
     the crossover (pipeline/localize.py)."""
     cfg = _load_config(args)
     feats, cam = _load_features(args, cfg)
-    from fastmatch_tpu.pipeline.localize import (
-        localize, map_index_from_checkpoint)
+    if args.retrieval > 0:
+        from fastmatch_tpu.pipeline.retrieval import (
+            build_keyframe_db, localize_hierarchical, map_from_checkpoint)
 
-    index = map_index_from_checkpoint(
-        args.map, ann_threshold=args.ann_threshold)
+        md = map_from_checkpoint(args.map)
+        db = build_keyframe_db(md, n_words=args.vocab_words)
+
+        def _localize(xy, d, m):
+            return localize_hierarchical(md, db, xy, d, m, cam,
+                                         topk=args.retrieval,
+                                         thr_px=args.thr_px)
+        mode = {"retrieval": args.retrieval}
+    else:
+        from fastmatch_tpu.pipeline.localize import (
+            localize, map_index_from_checkpoint)
+
+        index = map_index_from_checkpoint(
+            args.map, ann_threshold=args.ann_threshold)
+
+        def _localize(xy, d, m):
+            return localize(index, xy, d, m, cam, thr_px=args.thr_px)
+        mode = {"ann": index.ivf is not None}
     frames = range(len(feats)) if args.frame < 0 else [args.frame]
     n_ok = 0
     for k in frames:
         xy, d, m = feats[k]
-        r = localize(index, xy, d, m, cam, thr_px=args.thr_px)
+        r = _localize(xy, d, m)
         ok = bool(r.ok)
         n_ok += ok
         print(json.dumps({
@@ -791,8 +808,7 @@ def cmd_locate(args):
             "R": np.asarray(r.R).tolist() if ok else None,
             "t": np.asarray(r.t).tolist() if ok else None,
         }))
-    print(json.dumps({"localized": n_ok, "of": len(list(frames)),
-                      "ann": index.ivf is not None}))
+    print(json.dumps({"localized": n_ok, "of": len(list(frames)), **mode}))
     return 0 if n_ok else 1
 
 
@@ -1025,6 +1041,12 @@ def main(argv=None):
     sp.add_argument("--ann-threshold", type=int, default=None,
                     help="bank rows above which the IVF index is used "
                     "(default: measured ~100k crossover; 0 forces IVF)")
+    sp.add_argument("--retrieval", type=int, default=0, metavar="K",
+                    help="hierarchical mode: retrieve top-K keyframes by "
+                    "VLAD place recognition, match only their landmarks "
+                    "(0 = flat search over the whole bank)")
+    sp.add_argument("--vocab-words", type=int, default=64,
+                    help="VLAD vocabulary size for --retrieval")
     sp.set_defaults(fn=cmd_locate)
 
     sp = sub.add_parser("serve")
