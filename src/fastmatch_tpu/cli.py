@@ -812,6 +812,35 @@ def cmd_locate(args):
     return 0 if n_ok else 1
 
 
+def cmd_merge(args):
+    """Merge two saved maps into one (pipeline/merge.py): cross-localize
+    map B's keyframes in map A via the VLAD retrieval stack, recover the
+    Sim(3) gauge between the sessions, dedup shared landmarks, optional
+    joint BA; writes a merged map checkpoint."""
+    from fastmatch_tpu.pipeline.checkpoint import save_map
+    from fastmatch_tpu.pipeline.merge import merge_maps, rec_from_checkpoint
+
+    w, h = args.width, args.height
+    K = np.array([[args.focal, 0, w / 2], [0, args.focal, h / 2],
+                  [0, 0, 1.0]], np.float32)
+    from fastmatch_tpu.core.camera import Pinhole
+
+    cam = Pinhole.from_K(K)
+    rec_a = rec_from_checkpoint(args.map_a, cam)
+    rec_b = rec_from_checkpoint(args.map_b, cam)
+    merged, info = merge_maps(
+        rec_a, rec_b, thr_px=args.thr_px, topk=args.retrieval,
+        stride=args.stride, refine=not args.no_refine)
+    if args.out:
+        save_map(merged, args.out)
+        info["out"] = args.out
+    _run_exports(args, merged, cam)
+    info["n_frames"] = int(merged.n_frames)
+    info["n_points"] = int(merged.n_points)
+    print(json.dumps(info))
+    return 0
+
+
 def cmd_serve(args):
     """Serve localization queries over a prebuilt map (pipeline/serve.py):
     map + IVF index built once, query path compiled before the socket
@@ -1048,6 +1077,23 @@ def main(argv=None):
     sp.add_argument("--vocab-words", type=int, default=64,
                     help="VLAD vocabulary size for --retrieval")
     sp.set_defaults(fn=cmd_locate)
+
+    sp = sub.add_parser("merge")
+    sp.add_argument("map_a", help="map checkpoint dir (kept gauge)")
+    sp.add_argument("map_b", help="map checkpoint dir (re-gauged into A)")
+    sp.add_argument("--out", help="merged map checkpoint dir")
+    sp.add_argument("--focal", type=float, default=500.0)
+    sp.add_argument("--width", type=int, default=640)
+    sp.add_argument("--height", type=int, default=480)
+    sp.add_argument("--thr-px", type=float, default=2.0)
+    sp.add_argument("--retrieval", type=int, default=4, metavar="K",
+                    help="keyframes retrieved per cross-localization")
+    sp.add_argument("--stride", type=int, default=1,
+                    help="localize every Nth frame of map B")
+    sp.add_argument("--no-refine", action="store_true",
+                    help="skip the joint BA over the merged map")
+    _add_export_args(sp)
+    sp.set_defaults(fn=cmd_merge)
 
     sp = sub.add_parser("serve")
     sp.add_argument("map", help="map checkpoint dir (slam/reconstruct "

@@ -136,6 +136,50 @@ def query_frames(db: KeyframeDB, desc, mask, topk: int = 5):
     return s[0], ids[0]
 
 
+def localize_hierarchical_normalized(
+    rec,
+    db: KeyframeDB,
+    xn: np.ndarray,
+    desc: np.ndarray,
+    mask: np.ndarray,
+    thr_n: float,
+    topk: int = 4,
+    ratio: float = 0.8,
+    n_hyp: int = 512,
+    min_inliers: int = 12,
+    seed: int = 0,
+) -> LocalizeResult:
+    """`localize_hierarchical` core on already-normalized image coords
+    (``xn``; ``thr_n`` a squared normalized-plane threshold) — the entry
+    map merging uses, since observation tables store normalized uv."""
+    _, ids = query_frames(db, desc, mask, topk=topk)
+    ids = np.asarray(ids)
+    cand = np.unique(db.frame_pts[ids][db.frame_pts[ids] >= 0])
+    cap = _bucket(max(cand.size, 1))
+    bank = np.zeros((cap, rec.pt_desc.shape[1]), np.float32)
+    bmask = np.zeros(cap, bool)
+    pts3 = np.zeros((cap, 3), np.float32)
+    if cand.size:
+        bank[: cand.size] = np.asarray(rec.pt_desc, np.float32)[cand]
+        bmask[: cand.size] = np.asarray(rec.pt_mask, bool)[cand]
+        pts3[: cand.size] = np.asarray(rec.points, np.float32)[cand]
+
+    q = Descriptors(jnp.asarray(np.asarray(desc, np.float32)),
+                    jnp.asarray(np.asarray(mask, bool)))
+    m = match_pair(q, Descriptors(jnp.asarray(bank), jnp.asarray(bmask)),
+                   ratio=ratio, cross_check=False)
+    X = jnp.asarray(pts3)[jnp.clip(m.idx.astype(jnp.int32), 0, cap - 1)]
+    pn: PnPResult = ransac_pnp(jax.random.PRNGKey(seed),
+                               X, jnp.asarray(np.asarray(xn, np.float32)),
+                               m.valid, thr=jnp.float32(thr_n), n_hyp=n_hyp,
+                               min_inliers=min_inliers)
+    return LocalizeResult(
+        ok=pn.ok, R=pn.pose.R, t=pn.pose.t,
+        n_matches=jnp.sum(m.valid, dtype=jnp.int32),
+        n_inliers=pn.n_inliers,
+    )
+
+
 def localize_hierarchical(
     rec,
     db: KeyframeDB,
@@ -156,36 +200,13 @@ def localize_hierarchical(
     retrieved keyframes, bucket-padded to a power of two so repeated
     queries against one map hit one compiled program per bucket.
     """
-    _, ids = query_frames(db, desc, mask, topk=topk)
-    ids = np.asarray(ids)
-    cand = np.unique(db.frame_pts[ids][db.frame_pts[ids] >= 0])
-    cap = _bucket(max(cand.size, 1))
-    bank = np.zeros((cap, rec.pt_desc.shape[1]), np.float32)
-    bmask = np.zeros(cap, bool)
-    pts3 = np.zeros((cap, 3), np.float32)
-    if cand.size:
-        bank[: cand.size] = np.asarray(rec.pt_desc, np.float32)[cand]
-        bmask[: cand.size] = np.asarray(rec.pt_mask, bool)[cand]
-        pts3[: cand.size] = np.asarray(rec.points, np.float32)[cand]
-
-    q = Descriptors(jnp.asarray(np.asarray(desc, np.float32)),
-                    jnp.asarray(np.asarray(mask, bool)))
-    m = match_pair(q, Descriptors(jnp.asarray(bank), jnp.asarray(bmask)),
-                   ratio=ratio, cross_check=False)
-    X = jnp.asarray(pts3)[jnp.clip(m.idx.astype(jnp.int32), 0, cap - 1)]
     from fastmatch_tpu.pipeline.reconstruct import _normalize
 
-    xn = jnp.asarray(_normalize(np.asarray(xy, np.float32), camera)
-                     .astype(np.float32))
-    thr_n = jnp.float32((thr_px / float(camera.fx)) ** 2)
-    pn: PnPResult = ransac_pnp(jax.random.PRNGKey(seed), X, xn, m.valid,
-                               thr=thr_n, n_hyp=n_hyp,
-                               min_inliers=min_inliers)
-    return LocalizeResult(
-        ok=pn.ok, R=pn.pose.R, t=pn.pose.t,
-        n_matches=jnp.sum(m.valid, dtype=jnp.int32),
-        n_inliers=pn.n_inliers,
-    )
+    xn = _normalize(np.asarray(xy, np.float32), camera).astype(np.float32)
+    thr_n = (thr_px / float(camera.fx)) ** 2
+    return localize_hierarchical_normalized(
+        rec, db, xn, desc, mask, thr_n, topk=topk, ratio=ratio,
+        n_hyp=n_hyp, min_inliers=min_inliers, seed=seed)
 
 
 def map_from_checkpoint(path: str):
