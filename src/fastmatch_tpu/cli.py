@@ -463,7 +463,30 @@ def cmd_vo(args):
             for _, img in fl:
                 yield img
 
-    if args.engine == "scan":
+    if args.right:
+        # Rectified stereo rig: metric VO, no bootstrap/scale gauge
+        # (pipeline/stereo_vo.py).
+        from fastmatch_tpu.pipeline.stereo_vo import (
+            StereoVOConfig, stereo_visual_odometry)
+
+        rpaths = sorted(glob.glob(args.right + "/*"))
+        if len(rpaths) != len(paths):
+            raise ValueError(
+                f"--right: {len(rpaths)} frames vs {len(paths)} left")
+        rfirst = load_gray(rpaths[0])
+
+        def rframes():
+            yield rfirst
+            with FrameLoader(rpaths[1:], size=(w, h)) as fl:
+                for _, img in fl:
+                    yield img
+
+        svo = StereoVOConfig(capacity=args.capacity,
+                             klt=KLTConfig(levels=args.levels))
+        rec = stereo_visual_odometry(frames(), rframes(), cam,
+                                     args.baseline, cfg, svo,
+                                     metrics=metrics)
+    elif args.engine == "scan":
         # Scan mode needs the full stack up front (one device upload).
         from fastmatch_tpu.pipeline.vo_scan import visual_odometry_scan
 
@@ -955,6 +978,12 @@ def main(argv=None):
                     help="host: per-frame driver loop; scan: the whole "
                     "post-bootstrap sequence as ONE compiled lax.scan "
                     "(pipeline/vo_scan.py)")
+    sp.add_argument("--right", metavar="DIR",
+                    help="rectified right-image directory: METRIC stereo "
+                    "VO (pipeline/stereo_vo.py) — landmarks lifted via "
+                    "dense stereo, no bootstrap, no scale drift")
+    sp.add_argument("--baseline", type=float, default=0.12,
+                    help="stereo baseline (world units) for --right")
     sp.add_argument("--out", help="trajectory/points .npz")
     sp.add_argument("--metrics", help="JSONL metrics path")
     _add_export_args(sp)
