@@ -793,7 +793,9 @@ def cmd_evaluate(args):
 def cmd_locate(args):
     """Localize frames against a prebuilt map (kidnapped-robot query):
     the ANN big-bank product path for city-scale maps, exact matcher below
-    the crossover (pipeline/localize.py)."""
+    the crossover (pipeline/localize.py); --retrieval K switches to the
+    hierarchical path (VLAD place recognition -> match only the retrieved
+    keyframes' landmarks, pipeline/retrieval.py)."""
     cfg = _load_config(args)
     feats, cam = _load_features(args, cfg)
     if args.retrieval > 0:
